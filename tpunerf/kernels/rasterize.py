@@ -1,0 +1,264 @@
+"""Differentiable triangle rasterization for TPU (XLA-native reference impl).
+
+TPU-native replacement for kaolin's CUDA rasterizers
+(reference: src/latent_paint/models/render.py:42-43 `kal.render.mesh.rasterize`
+and src/latent_paint_mesh/models/render.py:231-239 `dibr_rasterization`).
+
+Design (SURVEY.md §7 "hard parts" #1): per-pixel triangle assignment is
+data-dependent, which XLA cannot express with dynamic shapes — so the
+rasterizer is split into
+
+1. a **selection pass** (non-differentiable): a chunked scan over faces
+   computing, per pixel, the argmax-z visible face id — fixed shapes, pure
+   max/argmax reductions, maps cleanly onto the VPU;
+2. a **differentiable pass**: gather the winning face's vertices/attributes
+   and recompute barycentrics with gradients — one gather + small einsum;
+3. an optional **soft-silhouette pass** (DIB-R semantics): per-pixel
+   probability 1 − ∏(1 − exp(−d²/σ)) accumulated in a differentiable scan,
+   giving silhouette gradients to vertex positions.
+
+Conventions: image coords are NDC in [−1,1], +y up; pixel (i, j) has center
+(x, y) = ((j+.5)/W·2−1, 1−(i+.5)/H·2). Camera-space z is negative in front of
+the camera; the *largest* interpolated z wins the depth test. Attributes are
+interpolated in image space (matching kaolin's DIB-R interpolation).
+`face_idx == −1` marks background.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+_EPS = 1e-10
+
+
+def pixel_grid_ndc(height: int, width: int) -> jnp.ndarray:
+    """(H·W, 2) pixel-center NDC coordinates, row-major, +y up."""
+    ys = 1.0 - (jnp.arange(height, dtype=jnp.float32) + 0.5) / height * 2.0
+    xs = (jnp.arange(width, dtype=jnp.float32) + 0.5) / width * 2.0 - 1.0
+    gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
+    return jnp.stack([gx.ravel(), gy.ravel()], axis=-1)
+
+
+def _edge_weights(pix: jnp.ndarray, tri: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Unnormalized barycentric edge functions.
+
+    pix: (P, 2); tri: (..., 3, 2) → weights (..., P, 3) and denom (..., 1).
+    bary = w / denom; inside iff all(w · sign(denom) ≥ 0).
+    """
+    v0, v1, v2 = tri[..., 0, :], tri[..., 1, :], tri[..., 2, :]
+
+    def cross2(ax, ay, bx, by):
+        return ax * by - ay * bx
+
+    # pix broadcast: (..., P)
+    px, py = pix[..., 0], pix[..., 1]
+
+    def w(a, b):
+        # cross(b - a, p - a) for each pixel
+        abx, aby = b[..., 0] - a[..., 0], b[..., 1] - a[..., 1]
+        apx = px[None, :] - a[..., 0:1]
+        apy = py[None, :] - a[..., 1:2]
+        return abx[..., None] * apy - aby[..., None] * apx
+
+    w0 = w(v1, v2)  # opposite v0
+    w1 = w(v2, v0)
+    w2 = w(v0, v1)
+    denom = cross2(v1[..., 0] - v0[..., 0], v1[..., 1] - v0[..., 1],
+                   v2[..., 0] - v0[..., 0], v2[..., 1] - v0[..., 1])
+    return jnp.stack([w0, w1, w2], axis=-1), denom[..., None]
+
+
+def _select_faces(pix: jnp.ndarray, fv_img: jnp.ndarray, fv_z: jnp.ndarray,
+                  valid: jnp.ndarray, face_chunk: int) -> jnp.ndarray:
+    """Per-pixel winning face id (P,), −1 = background. Non-differentiable."""
+    P = pix.shape[0]
+    F = fv_img.shape[0]
+    pad = (-F) % face_chunk
+    fv_img = jnp.pad(fv_img, ((0, pad), (0, 0), (0, 0)))
+    fv_z = jnp.pad(fv_z, ((0, pad), (0, 0)))
+    valid = jnp.pad(valid, (0, pad))
+    n_chunks = (F + pad) // face_chunk
+
+    fv_img_c = fv_img.reshape(n_chunks, face_chunk, 3, 2)
+    fv_z_c = fv_z.reshape(n_chunks, face_chunk, 3)
+    valid_c = valid.reshape(n_chunks, face_chunk)
+    base_ids = jnp.arange(face_chunk, dtype=jnp.int32)
+
+    def body(carry, chunk):
+        best_z, best_idx = carry
+        tri, z3, ok, chunk_id = chunk
+        w, denom = _edge_weights(pix, tri)            # (Fc, P, 3), (Fc, 1)
+        sgn = jnp.sign(denom)
+        inside = jnp.all(w * sgn[..., None] >= 0.0, axis=-1)   # (Fc, P)
+        nondegen = jnp.abs(denom[..., 0]) > _EPS
+        bary = w / jnp.where(jnp.abs(denom) > _EPS, denom, 1.0)[..., None]
+        zi = jnp.einsum("fpk,fk->fp", bary, z3)       # (Fc, P)
+        hit = inside & nondegen[..., None] & ok[:, None]
+        zi = jnp.where(hit, zi, -jnp.inf)
+        # best within chunk
+        arg = jnp.argmax(zi, axis=0)                  # (P,)
+        zbest = jnp.take_along_axis(zi, arg[None], axis=0)[0]
+        idx = chunk_id * face_chunk + base_ids[arg]
+        take = zbest > best_z
+        return (jnp.where(take, zbest, best_z),
+                jnp.where(take, idx, best_idx)), None
+
+    init = (jnp.full((P,), -jnp.inf, jnp.float32),
+            jnp.full((P,), -1, jnp.int32))
+    chunk_ids = jnp.arange(n_chunks, dtype=jnp.int32)
+    (best_z, best_idx), _ = jax.lax.scan(
+        body, init, (fv_img_c, fv_z_c, valid_c, chunk_ids))
+    return best_idx
+
+
+def _interp_selected(pix: jnp.ndarray, face_idx: jnp.ndarray,
+                     fv_img: jnp.ndarray, face_features: jnp.ndarray
+                     ) -> jnp.ndarray:
+    """Differentiable barycentric interpolation for the selected faces."""
+    safe_idx = jnp.maximum(face_idx, 0)
+    tri = fv_img[safe_idx]                 # (P, 3, 2)
+    feat = face_features[safe_idx]         # (P, 3, C)
+    v0, v1, v2 = tri[:, 0], tri[:, 1], tri[:, 2]
+
+    def cross2(a, b):
+        return a[..., 0] * b[..., 1] - a[..., 1] * b[..., 0]
+
+    w0 = cross2(v2 - v1, pix - v1)
+    w1 = cross2(v0 - v2, pix - v2)
+    w2 = cross2(v1 - v0, pix - v0)
+    denom = w0 + w1 + w2
+    denom = jnp.where(jnp.abs(denom) > _EPS, denom, 1.0)
+    bary = jnp.stack([w0, w1, w2], axis=-1) / denom[..., None]
+    out = jnp.einsum("pk,pkc->pc", bary, feat)
+    return jnp.where((face_idx >= 0)[:, None], out, 0.0)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 5, 6))
+def _rasterize_single(height: int, width: int, fv_z: jnp.ndarray,
+                      fv_img: jnp.ndarray, face_features: jnp.ndarray,
+                      face_chunk: int, pixel_tile: int
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    pix = pixel_grid_ndc(height, width)
+    P = pix.shape[0]
+    valid = jnp.ones((fv_img.shape[0],), bool)
+
+    # ---- selection pass (no grad), tiled over pixels to bound memory ----
+    pad = (-P) % pixel_tile
+    pix_p = jnp.pad(pix, ((0, pad), (0, 0)))
+    tiles = pix_p.reshape(-1, pixel_tile, 2)
+    sel = jax.lax.map(
+        lambda t: _select_faces(t, jax.lax.stop_gradient(fv_img),
+                                jax.lax.stop_gradient(fv_z), valid,
+                                face_chunk),
+        tiles)
+    face_idx = sel.reshape(-1)[:P]
+
+    # ---- differentiable pass ----
+    feats = _interp_selected(pix, face_idx, fv_img, face_features)
+    C = face_features.shape[-1]
+    return feats.reshape(height, width, C), face_idx.reshape(height, width)
+
+
+def rasterize(height: int, width: int, face_vertices_z: jnp.ndarray,
+              face_vertices_image: jnp.ndarray, face_features: jnp.ndarray,
+              face_chunk: int = 256, pixel_tile: int = 8192
+              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Hard z-buffer rasterization (kaolin `rasterize` surface,
+    reference render.py:42-43).
+
+    Args:
+      face_vertices_z: (B, F, 3) camera-space z per face vertex.
+      face_vertices_image: (B, F, 3, 2) NDC xy per face vertex.
+      face_features: (B, F, 3, C) per-face-vertex attributes.
+    Returns:
+      image_features (B, H, W, C), face_idx (B, H, W) int32 (−1 background).
+    """
+    fn = functools.partial(_rasterize_single, height, width,
+                           face_chunk=face_chunk, pixel_tile=pixel_tile)
+    return jax.vmap(fn)(face_vertices_z, face_vertices_image, face_features)
+
+
+def _point_segment_dist2(p: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray
+                         ) -> jnp.ndarray:
+    """Squared distance point (P,2) ↔ segments (..., 2). Broadcast over faces."""
+    ab = b - a                                     # (F, 2)
+    ap = p[None, :, :] - a[:, None, :]             # (F, P, 2)
+    denom = jnp.maximum(jnp.sum(ab * ab, axis=-1), _EPS)  # (F,)
+    t = jnp.clip(jnp.einsum("fpd,fd->fp", ap, ab) / denom[:, None], 0.0, 1.0)
+    closest = a[:, None, :] + t[..., None] * ab[:, None, :]
+    d = p[None] - closest
+    return jnp.sum(d * d, axis=-1)                 # (F, P)
+
+
+def _soft_tile(pix: jnp.ndarray, fv_img: jnp.ndarray, sigma: float,
+               face_chunk: int) -> jnp.ndarray:
+    """1 − ∏(1 − p_f) for one pixel tile; differentiable in fv_img."""
+    F = fv_img.shape[0]
+    pad = (-F) % face_chunk
+    fv = jnp.pad(fv_img, ((0, pad), (0, 0), (0, 0)))
+    ok = jnp.pad(jnp.ones((F,), bool), (0, pad))
+    fv_c = fv.reshape(-1, face_chunk, 3, 2)
+    ok_c = ok.reshape(-1, face_chunk)
+
+    def body(carry, chunk):
+        tri, valid = chunk
+        w, denom = _edge_weights(pix, tri)
+        sgn = jnp.sign(denom)
+        inside = jnp.all(w * sgn[..., None] >= 0.0, axis=-1)     # (Fc, P)
+        d2 = jnp.minimum(
+            _point_segment_dist2(pix, tri[:, 0], tri[:, 1]),
+            jnp.minimum(_point_segment_dist2(pix, tri[:, 1], tri[:, 2]),
+                        _point_segment_dist2(pix, tri[:, 2], tri[:, 0])))
+        prob = jnp.where(inside, 1.0, jnp.exp(-d2 / sigma))      # (Fc, P)
+        prob = jnp.where(valid[:, None], prob, 0.0)
+        return carry * jnp.prod(1.0 - prob, axis=0), None
+
+    init = jnp.ones((pix.shape[0],), jnp.float32)
+    prod, _ = jax.lax.scan(body, init, (fv_c, ok_c))
+    return 1.0 - prod
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 3, 4, 5))
+def _soft_single(height: int, width: int, fv_img: jnp.ndarray, sigma: float,
+                 face_chunk: int, pixel_tile: int) -> jnp.ndarray:
+    pix = pixel_grid_ndc(height, width)
+    P = pix.shape[0]
+    pad = (-P) % pixel_tile
+    tiles = jnp.pad(pix, ((0, pad), (0, 0))).reshape(-1, pixel_tile, 2)
+    out = jax.lax.map(
+        lambda t: _soft_tile(t, fv_img, sigma, face_chunk), tiles)
+    return out.reshape(-1)[:P].reshape(height, width)
+
+
+def soft_silhouette(height: int, width: int, face_vertices_image: jnp.ndarray,
+                    sigma: float = 1e-4, face_chunk: int = 256,
+                    pixel_tile: int = 8192) -> jnp.ndarray:
+    """DIB-R soft silhouette (B, H, W), differentiable to vertex positions
+    (reference: dibr_rasterization's soft mask, latent_paint_mesh/models/
+    render.py:231-239)."""
+    fn = functools.partial(_soft_single, height, width, sigma=sigma,
+                           face_chunk=face_chunk, pixel_tile=pixel_tile)
+    return jax.vmap(lambda fv: fn(fv))(face_vertices_image)
+
+
+def dibr_rasterization(height: int, width: int, face_vertices_z: jnp.ndarray,
+                       face_vertices_image: jnp.ndarray,
+                       face_features: jnp.ndarray,
+                       face_normals_z: Optional[jnp.ndarray] = None,
+                       sigma: float = 1e-4
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """DIB-R: hard interior attributes + soft silhouette
+    (kaolin `dibr_rasterization` surface, reference render.py:231-239).
+
+    Returns (image_features, soft_mask, face_idx). `face_normals_z` is
+    accepted for surface parity (backface information) but, like the
+    reference's usage with `abs(normals)` (render.py:237 — double-sided
+    faces), it does not cull.
+    """
+    feats, face_idx = rasterize(height, width, face_vertices_z,
+                                face_vertices_image, face_features)
+    soft = soft_silhouette(height, width, face_vertices_image, sigma=sigma)
+    return feats, soft, face_idx

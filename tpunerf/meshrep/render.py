@@ -1,0 +1,178 @@
+"""Mesh renderer: camera → rasterize → texture/shade. Batched, jit-friendly.
+
+Re-designs both reference renderers behind one functional API:
+* hard path (reference src/latent_paint/models/render.py:34-69),
+* DIB-R soft path with vertex normals + SH lighting + dual body/head cameras
+  (reference src/latent_paint_mesh/models/render.py:18-279).
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tpunerf.core import camera as cam
+from tpunerf.kernels import rasterize as rast
+from tpunerf.kernels import texture as texk
+
+
+class RenderOutput(NamedTuple):
+    image: jnp.ndarray                 # (B, H, W, C)
+    mask: jnp.ndarray                  # (B, H, W, 1) hard or soft coverage
+    face_idx: jnp.ndarray              # (B, H, W) int32
+    normals: Optional[jnp.ndarray] = None   # (B, H, W, 3) world normals
+    lighting: Optional[jnp.ndarray] = None  # (B, H, W, 1) SH shading
+
+
+@dataclasses.dataclass(frozen=True)
+class CameraSpec:
+    """Projection + look-at height for one camera family.
+
+    Reference families: paint FOV π/3 (render.py:11); paint-mesh body FOV π/4,
+    look-at −0.3 and head FOV π/12, look-at +0.4 (mesh render.py:18-32)."""
+    fovy: float = math.pi / 3
+    look_at_height: float = 0.0
+
+    def projection(self) -> jnp.ndarray:
+        return cam.perspective_projection(self.fovy)
+
+
+BODY_CAMERA = CameraSpec(fovy=math.pi / 4, look_at_height=-0.3)
+HEAD_CAMERA = CameraSpec(fovy=math.pi / 12, look_at_height=0.4)
+
+
+def compute_vertex_normals(vertices: jnp.ndarray, faces: jnp.ndarray
+                           ) -> jnp.ndarray:
+    """Area-weighted vertex normals by scatter-add of face normals
+    (reference mesh render.py:57-105, a torch scatter_add) — here a
+    `segment_sum`, the XLA-native scatter-add."""
+    fv = cam.index_vertices_by_faces(vertices, faces)      # (F, 3, 3)
+    fn = jnp.cross(fv[:, 1] - fv[:, 0], fv[:, 2] - fv[:, 0])  # area-weighted
+    V = vertices.shape[0]
+    flat_idx = faces.reshape(-1)
+    flat_n = jnp.repeat(fn, 3, axis=0)
+    vn = jax.ops.segment_sum(flat_n, flat_idx, num_segments=V)
+    return vn / jnp.maximum(jnp.linalg.norm(vn, axis=-1, keepdims=True), 1e-12)
+
+
+# Real SH basis constants, bands 0-2, kaolin ordering:
+# [1, y, z, x, xy, yz, 3z²−1, xz, x²−y²]
+_SH_C = (0.282095, 0.488603, 0.488603, 0.488603,
+         1.092548, 1.092548, 0.315392, 1.092548, 0.546274)
+
+
+def spherical_harmonic_lighting(normals: jnp.ndarray, lights: jnp.ndarray
+                                ) -> jnp.ndarray:
+    """9-coefficient SH shading from unit normals
+    (reference mesh render.py:258 `kal.render.mesh.spherical_harmonic_lighting`).
+
+    normals (..., 3), lights (B, 9) → (B, ...) scalar irradiance.
+    """
+    x, y, z = normals[..., 0], normals[..., 1], normals[..., 2]
+    basis = jnp.stack([
+        _SH_C[0] * jnp.ones_like(x),
+        _SH_C[1] * y, _SH_C[2] * z, _SH_C[3] * x,
+        _SH_C[4] * x * y, _SH_C[5] * y * z,
+        _SH_C[6] * (3 * z * z - 1.0), _SH_C[7] * x * z,
+        _SH_C[8] * (x * x - y * y),
+    ], axis=-1)                                            # (..., 9)
+    return jnp.einsum("...k,bk->b...", basis, lights) if lights.ndim == 2 \
+        else jnp.sum(basis * lights, axis=-1)
+
+
+def render_single_view(mesh_vertices: jnp.ndarray, faces: jnp.ndarray,
+                       face_attributes: jnp.ndarray, theta, phi, radius,
+                       spec: CameraSpec = CameraSpec(), dims=(64, 64)
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Hard rasterization of per-face attributes (reference render.py:34-47,
+    used for the background env-sphere). Returns (B,H,W,C) image, (B,H,W,1)
+    mask."""
+    theta = jnp.atleast_1d(jnp.asarray(theta, jnp.float32))
+    phi = jnp.atleast_1d(jnp.asarray(phi, jnp.float32))
+    radius = jnp.broadcast_to(jnp.asarray(radius, jnp.float32), theta.shape)
+    B = theta.shape[0]
+    transform = cam.camera_transform_from_view(
+        theta, phi, radius, look_at_height=spec.look_at_height)
+    fv_cam, fv_img, _ = cam.prepare_vertices(
+        mesh_vertices, faces, spec.projection(), transform)
+    attrs = jnp.broadcast_to(face_attributes,
+                             (B, *face_attributes.shape[-3:]))
+    feats, face_idx = rast.rasterize(dims[0], dims[1], fv_cam[..., 2],
+                                     fv_img, attrs)
+    mask = (face_idx > -1).astype(jnp.float32)[..., None]
+    return feats, mask
+
+
+def render_single_view_texture(
+        verts: jnp.ndarray, faces: jnp.ndarray, uv_face_attr: jnp.ndarray,
+        texture_map: jnp.ndarray, theta, phi, radius,
+        spec: CameraSpec = CameraSpec(), dims=(64, 64),
+        interpolation_mode: str = "bilinear", white_background: bool = False,
+        detach_uv: bool = True, displacement: Optional[jnp.ndarray] = None,
+        compute_normals: bool = False, lights: Optional[jnp.ndarray] = None,
+        soft_mask_sigma: Optional[float] = None) -> RenderOutput:
+    """Textured render, hard or DIB-R-soft mask.
+
+    Mirrors reference `render_single_view_texture` (latent_paint render.py:
+    50-69; latent_paint_mesh render.py:160-279): rasterize interpolated UVs,
+    sample the texture, optional per-vertex displacement pre-projection,
+    optional world-normal map + SH lighting, white background composite.
+    `detach_uv=True` reproduces the latent-paint behavior of stopping geometry
+    gradients through the UV map (reference render.py:61).
+    """
+    theta = jnp.atleast_1d(jnp.asarray(theta, jnp.float32))
+    phi = jnp.atleast_1d(jnp.asarray(phi, jnp.float32))
+    radius = jnp.broadcast_to(jnp.asarray(radius, jnp.float32), theta.shape)
+    B = theta.shape[0]
+    H, W = dims
+
+    if displacement is not None:
+        verts = verts + displacement
+    transform = cam.camera_transform_from_view(
+        theta, phi, radius, look_at_height=spec.look_at_height)
+    fv_cam, fv_img, _ = cam.prepare_vertices(
+        verts, faces, spec.projection(), transform)
+
+    # Per-face-vertex features: uv (2) [+ world normal (3)]
+    feat_list = [jnp.broadcast_to(uv_face_attr, (B, *uv_face_attr.shape[-3:]))]
+    n_extra = 0
+    if compute_normals:
+        vn = compute_vertex_normals(verts, faces)          # world space
+        fn_attr = cam.index_vertices_by_faces(vn, faces)   # (F, 3, 3)
+        feat_list.append(jnp.broadcast_to(fn_attr, (B, *fn_attr.shape)))
+        n_extra = 3
+    features = jnp.concatenate(feat_list, axis=-1)
+
+    feats, face_idx = rast.rasterize(H, W, fv_cam[..., 2], fv_img, features)
+    uv_px = feats[..., :2]
+    if detach_uv:
+        uv_px = jax.lax.stop_gradient(uv_px)
+
+    image = texk.texture_mapping(uv_px, texture_map, mode=interpolation_mode)
+
+    hard_mask = (face_idx > -1).astype(jnp.float32)[..., None]
+    if soft_mask_sigma is not None:
+        mask = rast.soft_silhouette(H, W, fv_img,
+                                    sigma=soft_mask_sigma)[..., None]
+    else:
+        mask = hard_mask
+
+    normals_img = None
+    lighting = None
+    if compute_normals:
+        normals_img = feats[..., 2:2 + n_extra]
+        nrm = jnp.maximum(
+            jnp.linalg.norm(normals_img, axis=-1, keepdims=True), 1e-12)
+        normals_img = normals_img / nrm * hard_mask
+        if lights is not None:
+            lighting = spherical_harmonic_lighting(normals_img, lights)
+            lighting = jnp.clip(lighting, 1e-8, 1.0)[..., None]
+
+    image = image * hard_mask
+    if white_background:
+        image = image + (1.0 - hard_mask)
+    return RenderOutput(image=image, mask=mask, face_idx=face_idx,
+                        normals=normals_img, lighting=lighting)
