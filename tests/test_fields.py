@@ -1,0 +1,237 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpunerf.fields import occupancy as occ_lib
+from tpunerf.fields import volume_render as vr
+from tpunerf.fields.encoding import (HashGridConfig, frequency_encode,
+                                     hash_encode, init_hash_table, sh_encode)
+from tpunerf.fields.latent_nerf import (LatentNeRFConfig, LatentNeRFField,
+                                        trunc_exp)
+
+
+# ---------------------------------------------------------------------- #
+# hash-grid encoding
+# ---------------------------------------------------------------------- #
+@pytest.fixture(scope="module")
+def grid_cfg():
+    return HashGridConfig(n_levels=4, log2_hashmap_size=10,
+                          base_resolution=4, desired_resolution=32)
+
+
+def test_hash_encode_shapes_and_determinism(grid_cfg):
+    table = init_hash_table(jax.random.key(0), grid_cfg)
+    x = jax.random.uniform(jax.random.key(1), (17, 3))
+    f1 = hash_encode(x, table, grid_cfg)
+    f2 = hash_encode(x, table, grid_cfg)
+    assert f1.shape == (17, grid_cfg.out_dim)
+    np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+
+
+def test_hash_encode_continuity(grid_cfg):
+    """Trilinear interpolation → tiny input perturbation, tiny output change."""
+    table = init_hash_table(jax.random.key(0), grid_cfg) * 1000
+    x = jnp.array([[0.37, 0.51, 0.73]])
+    f1 = hash_encode(x, table, grid_cfg)
+    f2 = hash_encode(x + 1e-5, table, grid_cfg)
+    assert np.abs(np.asarray(f1 - f2)).max() < 1e-2
+
+
+def test_hash_encode_gradients_flow_to_table(grid_cfg):
+    table = init_hash_table(jax.random.key(0), grid_cfg)
+    x = jax.random.uniform(jax.random.key(2), (5, 3))
+    g = jax.grad(lambda t: jnp.sum(hash_encode(x, t, grid_cfg) ** 2))(table)
+    assert np.abs(np.asarray(g)).sum() > 0
+
+
+def test_hash_encode_matches_manual_trilinear():
+    """Level with dense indexing must equal manual trilinear interpolation."""
+    cfg = HashGridConfig(n_levels=1, log2_hashmap_size=12, base_resolution=4,
+                         desired_resolution=4)
+    table = init_hash_table(jax.random.key(3), cfg)
+    res = 4
+    x = jnp.array([[0.33, 0.6, 0.1]])
+    out = hash_encode(x, table, cfg)
+
+    # manual
+    xf = np.asarray(x[0]) * res
+    x0 = np.floor(xf).astype(int)
+    w = xf - x0
+    acc = np.zeros(cfg.n_features_per_level)
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                idx = ((x0[0] + dx) * (res + 1) + (x0[1] + dy)) * (res + 1) \
+                    + (x0[2] + dz)
+                wgt = (w[0] if dx else 1 - w[0]) * \
+                      (w[1] if dy else 1 - w[1]) * \
+                      (w[2] if dz else 1 - w[2])
+                acc += wgt * np.asarray(table[0, idx])
+    np.testing.assert_allclose(np.asarray(out[0]), acc, rtol=1e-5)
+
+
+def test_sh_encode_basis():
+    d = jnp.array([[0.0, 0.0, 1.0]])
+    enc = sh_encode(d, degree=4)
+    assert enc.shape == (1, 16)
+    assert float(enc[0, 0]) == pytest.approx(0.28209479, rel=1e-5)
+    # z-aligned: Y1m for y and x vanish
+    assert float(enc[0, 1]) == pytest.approx(0.0, abs=1e-7)
+    assert float(enc[0, 3]) == pytest.approx(0.0, abs=1e-7)
+
+
+def test_frequency_encode_shape():
+    x = jnp.zeros((5, 3))
+    enc = frequency_encode(x, n_freqs=4)
+    assert enc.shape == (5, 3 + 3 * 2 * 4)
+
+
+def test_trunc_exp_grad_clamped():
+    g = jax.grad(trunc_exp)(jnp.asarray(100.0))
+    assert np.isfinite(float(g))
+    assert float(g) == pytest.approx(np.exp(15.0), rel=1e-5)
+
+
+# ---------------------------------------------------------------------- #
+# occupancy grid
+# ---------------------------------------------------------------------- #
+def test_occupancy_roundtrip_and_update():
+    cfg = occ_lib.OccupancyGridConfig(resolution=8, bound=1.0)
+    grid = occ_lib.init_occupancy(cfg)
+    assert bool(occ_lib.occupied(grid, jnp.zeros((1, 3)), cfg)[0])
+
+    # density only near origin → after updates, far cells decay
+    def density_fn(x):
+        return 100.0 * (jnp.linalg.norm(x, axis=-1) < 0.3)
+
+    for i in range(120):  # 0.95^120 ≈ 0.002 < threshold 0.01
+        grid = occ_lib.update(grid, density_fn, jax.random.key(i), cfg)
+    assert bool(occ_lib.occupied(grid, jnp.zeros((1, 3)), cfg)[0])
+    assert not bool(occ_lib.occupied(grid, jnp.full((1, 3), 0.9), cfg)[0])
+
+
+def test_compact_samples_orders_and_masks():
+    occ = jnp.array([[False, True, False, True, True, False]])
+    idx, valid = occ_lib.compact_samples(occ, 4)
+    np.testing.assert_array_equal(np.asarray(idx[0][:3]), [1, 3, 4])
+    np.testing.assert_array_equal(np.asarray(valid[0]),
+                                  [True, True, True, False])
+
+
+# ---------------------------------------------------------------------- #
+# volume rendering
+# ---------------------------------------------------------------------- #
+def test_aabb_intersect():
+    o = jnp.array([[0.0, 0.0, 3.0]])
+    d = jnp.array([[0.0, 0.0, -1.0]])
+    near, far = vr.aabb_intersect(o, d, bound=1.0)
+    assert float(near[0]) == pytest.approx(2.0, abs=1e-5)
+    assert float(far[0]) == pytest.approx(4.0, abs=1e-5)
+
+
+def test_generate_rays_through_center():
+    rays = vr.generate_rays(jnp.array([jnp.pi / 2]), jnp.array([0.0]),
+                            jnp.array([3.0]), 9, 9, fovy=jnp.pi / 3)
+    # camera at (0,0,3) looking at origin: center pixel ray ≈ −z
+    center = 4 * 9 + 4
+    np.testing.assert_allclose(np.asarray(rays.dirs[0, center]),
+                               [0, 0, -1], atol=1e-4)
+    np.testing.assert_allclose(np.asarray(rays.origins[0, center]),
+                               [0, 0, 3], atol=1e-5)
+
+
+def test_composite_opaque_surface():
+    """A slab of very dense samples → image = surface color, full opacity."""
+    K = 8
+    sigma = jnp.full((1, 1, K), 1e4)
+    color = jnp.broadcast_to(jnp.array([1.0, 2.0, 3.0, 4.0]), (1, 1, K, 4))
+    dt = jnp.full((1, 1, K), 0.1)
+    valid = jnp.ones((1, 1, K))
+    t = jnp.linspace(2.0, 3.0, K).reshape(1, 1, K)
+    img, wsum, depth, w = vr.composite(sigma, color, dt, valid, t)
+    np.testing.assert_allclose(np.asarray(img[0, 0]), [1, 2, 3, 4],
+                               rtol=1e-5)
+    assert float(wsum[0, 0]) == pytest.approx(1.0, abs=1e-5)
+    assert float(depth[0, 0]) == pytest.approx(2.0, abs=1e-3)  # first sample
+
+
+def test_composite_empty_space():
+    K = 8
+    sigma = jnp.zeros((1, 1, K))
+    color = jnp.ones((1, 1, K, 4))
+    img, wsum, _, _ = vr.composite(sigma, color, jnp.full((1, 1, K), 0.1),
+                                   jnp.ones((1, 1, K)),
+                                   jnp.linspace(0, 1, K).reshape(1, 1, K))[:4]
+    np.testing.assert_allclose(np.asarray(img), 0.0, atol=1e-7)
+    assert float(wsum[0, 0]) == 0.0
+
+
+def test_render_rays_sphere_density():
+    """Analytic density ball: rays through the center hit, edge rays miss."""
+    def sigma_color(x, d):
+        sigma = 50.0 * (jnp.linalg.norm(x, axis=-1) < 0.4)
+        color = jnp.broadcast_to(jnp.array([1.0, 0.5, 0.25, 0.0]),
+                                 (*sigma.shape, 4))
+        return sigma, color
+
+    rays = vr.generate_rays(jnp.array([jnp.pi / 2]), jnp.array([0.0]),
+                            jnp.array([3.0]), 9, 9, fovy=jnp.pi / 3)
+    cfg = vr.MarchConfig(num_samples=64, num_compacted=32)
+    res = vr.render_rays(sigma_color, rays, jax.random.key(0), cfg)
+    center, corner = 4 * 9 + 4, 0
+    assert float(res.weights_sum[0, center]) > 0.95
+    assert float(res.weights_sum[0, corner]) < 0.05
+    np.testing.assert_allclose(np.asarray(res.image[0, center]),
+                               [1.0, 0.5, 0.25, 0.0], atol=0.05)
+    assert float(res.depth[0, center]) == pytest.approx(3.0 - 0.4, abs=0.1)
+
+
+def test_render_rays_occupancy_equivalence():
+    """With an accurate occupancy grid, pruned rendering ≈ unpruned."""
+    def sigma_color(x, d):
+        sigma = 30.0 * (jnp.linalg.norm(x, axis=-1) < 0.35)
+        return sigma, jnp.ones((*sigma.shape, 4))
+
+    occ_cfg = occ_lib.OccupancyGridConfig(resolution=16)
+    grid = occ_lib.init_occupancy(occ_cfg)
+    for i in range(60):
+        grid = occ_lib.update(
+            grid, lambda x: 30.0 * (jnp.linalg.norm(x, axis=-1) < 0.35),
+            jax.random.key(i), occ_cfg)
+
+    rays = vr.generate_rays(jnp.array([1.2]), jnp.array([0.7]),
+                            jnp.array([2.5]), 8, 8, fovy=jnp.pi / 3)
+    cfg = vr.MarchConfig(num_samples=64, num_compacted=32)
+    res_full = vr.render_rays(sigma_color, rays, jax.random.key(5), cfg,
+                              perturb=False)
+    res_occ = vr.render_rays(sigma_color, rays, jax.random.key(5), cfg,
+                             occ_grid=grid, occ_cfg=occ_cfg, perturb=False)
+    np.testing.assert_allclose(np.asarray(res_occ.weights_sum),
+                               np.asarray(res_full.weights_sum), atol=0.05)
+
+
+# ---------------------------------------------------------------------- #
+# field module
+# ---------------------------------------------------------------------- #
+def test_latent_nerf_field_shapes():
+    field = LatentNeRFField(LatentNeRFConfig.tiny())
+    x = jax.random.uniform(jax.random.key(0), (10, 3), minval=-1, maxval=1)
+    d = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), (10, 3))
+    params = field.init(jax.random.key(1), x, d, method=field.init_all)
+    sigma, c = field.apply(params, x, d)
+    assert sigma.shape == (10,) and c.shape == (10, 4)
+    assert (np.asarray(sigma) > 0).all()
+    bg = field.apply(params, d, method=field.background)
+    assert bg.shape == (10, 4)
+
+
+def test_latent_nerf_rgb_mode_bounded():
+    cfg = LatentNeRFConfig.tiny()
+    import dataclasses
+    field = LatentNeRFField(dataclasses.replace(cfg, out_channels=3))
+    x = jnp.zeros((4, 3))
+    d = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), (4, 3))
+    params = field.init(jax.random.key(0), x, d)
+    _, c = field.apply(params, x, d)
+    assert float(c.min()) >= 0.0 and float(c.max()) <= 1.0

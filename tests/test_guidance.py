@@ -1,0 +1,163 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpunerf.guidance import sds as sds_lib
+from tpunerf.guidance import vae as vae_lib
+from tpunerf.guidance.clip_text import (CLIPTextConfig, CLIPTextModel,
+                                        HashTokenizer)
+from tpunerf.guidance.stable_diffusion import (LATENT_GRAY,
+                                               LINEAR_RGB_ESTIMATOR,
+                                               StableDiffusionGuidance,
+                                               latent_to_rgb_preview,
+                                               rgb_to_latent_init)
+from tpunerf.guidance.unet import UNet2DCondition, UNetConfig
+
+
+@pytest.fixture(scope="module")
+def sd():
+    return StableDiffusionGuidance.create(jax.random.key(0), tiny=True)
+
+
+def test_unet_tiny_forward_shapes():
+    cfg = UNetConfig.tiny()
+    unet = UNet2DCondition(cfg)
+    x = jnp.zeros((2, 16, 16, 4))
+    ctx = jnp.zeros((2, 8, cfg.cross_attention_dim))
+    params = unet.init(jax.random.key(0), x, jnp.zeros((2,), jnp.int32), ctx)
+    out = unet.apply(params, x, jnp.array([10, 500]), ctx)
+    assert out.shape == (2, 16, 16, 4)
+    assert out.dtype == jnp.float32
+
+
+def test_unet_conditioning_matters(sd):
+    x = jax.random.normal(jax.random.key(1), (1, 16, 16, 4))
+    ctx1 = jax.random.normal(jax.random.key(2), (1, 16, 32))
+    ctx2 = jax.random.normal(jax.random.key(3), (1, 16, 32))
+    t = jnp.asarray(100)
+    o1 = sd.unet_apply(x, t, ctx1)
+    o2 = sd.unet_apply(x, t, ctx2)
+    assert np.abs(np.asarray(o1 - o2)).max() > 1e-6
+    # timestep matters too
+    o3 = sd.unet_apply(x, jnp.asarray(900), ctx1)
+    assert np.abs(np.asarray(o1 - o3)).max() > 1e-6
+
+
+def test_vae_roundtrip_shapes(sd):
+    img = jax.random.uniform(jax.random.key(0), (1, 64, 64, 3))
+    lat = sd.encode_imgs(img, jax.random.key(1))
+    assert lat.shape == (1, 16, 16, 4)
+    dec = sd.decode_latents(lat)
+    assert dec.shape == (1, 64, 64, 3)
+    assert float(dec.min()) >= 0.0 and float(dec.max()) <= 1.0
+
+
+def test_text_embeds_cfg_layout(sd):
+    emb = sd.get_text_embeds(["a goldfish", "a castle"])
+    # (2B, L, D): first half uncond (identical rows), second half cond
+    assert emb.shape[0] == 4
+    np.testing.assert_allclose(np.asarray(emb[0]), np.asarray(emb[1]),
+                               atol=1e-6)
+    assert np.abs(np.asarray(emb[2] - emb[3])).max() > 1e-6
+
+
+def test_sds_loss_grad_equals_score_gradient(sd):
+    key = jax.random.key(42)
+    latents = jax.random.normal(jax.random.key(5), (1, 16, 16, 4))
+    emb = sd.get_text_embeds(["test"])
+
+    g_auto = jax.grad(
+        lambda lat: sd.train_step_loss(key, emb, lat, guidance_scale=10.0)
+    )(latents)
+    g_manual, _ = sds_lib.score_gradient(
+        sd.unet_apply, sd.sched, key, latents, emb, guidance_scale=10.0,
+        min_step=sd.min_step, max_step=sd.max_step)
+    np.testing.assert_allclose(np.asarray(g_auto), np.asarray(g_manual),
+                               atol=1e-6)
+
+
+def test_sds_jits_end_to_end(sd):
+    emb = sd.get_text_embeds(["x"])
+
+    @jax.jit
+    def step(key, lat):
+        return jax.grad(lambda l: sd.train_step_loss(key, emb, l))(lat)
+
+    g = step(jax.random.key(0), jnp.zeros((1, 16, 16, 4)))
+    assert g.shape == (1, 16, 16, 4)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_dds_identical_branches_zero_grad(sd):
+    key = jax.random.key(7)
+    lat = jax.random.normal(jax.random.key(8), (1, 16, 16, 4))
+    emb = sd.get_text_embeds(["same"])
+    g = jax.grad(lambda l: sd.train_step_delta_loss(key, emb, l,
+                                                    lat, emb))(lat)
+    np.testing.assert_allclose(np.asarray(g), 0.0, atol=1e-6)
+
+
+def test_rgb_mode_train_step(sd):
+    import dataclasses
+    sd_rgb = dataclasses.replace(sd, latent_mode=False)
+    rgb = jax.random.uniform(jax.random.key(0), (1, 32, 32, 3))
+    emb = sd.get_text_embeds(["y"])
+    loss = sd_rgb.train_step_loss(jax.random.key(1), emb, rgb)
+    assert np.isfinite(float(loss))
+
+
+def test_produce_latents_and_invert_shapes(sd):
+    emb = sd.get_text_embeds(["z"])
+    lat = sd.produce_latents(jax.random.key(0), emb, num_inference_steps=4)
+    assert lat.shape == (1, 16, 16, 4)
+    traj = sd.invert(lat, emb, num_inference_steps=4)
+    assert traj.shape == (4, 1, 16, 16, 4)
+
+
+def test_latent_rgb_estimator_roundtrip():
+    rgb = jnp.array([[1.0, 0.0, 0.0]])
+    lat = rgb_to_latent_init(rgb)
+    back = latent_to_rgb_preview(lat)
+    # ridge-regularized pinv: approximate roundtrip
+    np.testing.assert_allclose(np.asarray(back), np.asarray(rgb), atol=0.1)
+    assert LINEAR_RGB_ESTIMATOR.shape == (4, 3)
+    assert LATENT_GRAY.shape == (4,)
+
+
+def test_hash_tokenizer_deterministic_and_special_tokens():
+    tok = HashTokenizer(vocab_size=1000, max_length=16)
+    a = tok(["hello world"])
+    b = tok(["hello world"])
+    np.testing.assert_array_equal(a, b)
+    assert a[0, 0] == tok.bos_id
+    assert tok.eos_id in a[0]
+    # concept token support (textual inversion)
+    tid = tok.add_token("<my-concept>")
+    ids = tok(["a <my-concept> photo"])
+    assert tid not in ids  # hash path splits on <>; direct lookup path:
+    assert tok._word_id("<my-concept>") == tid
+
+
+def test_clip_text_causality():
+    cfg = CLIPTextConfig.tiny()
+    model = CLIPTextModel(cfg)
+    ids1 = jnp.zeros((1, cfg.max_length), jnp.int32).at[0, 10].set(5)
+    ids2 = ids1.at[0, 12].set(9)
+    params = model.init(jax.random.key(0), ids1)
+    o1 = model.apply(params, ids1)
+    o2 = model.apply(params, ids2)
+    # positions before 12 unaffected by the change at 12
+    np.testing.assert_allclose(np.asarray(o1[:, :12]), np.asarray(o2[:, :12]),
+                               atol=1e-5)
+    assert np.abs(np.asarray(o1[:, 12:] - o2[:, 12:])).max() > 1e-6
+
+
+def test_null_optimization_smoke(sd):
+    emb = sd.get_text_embeds(["q"])
+    lat = jnp.zeros((1, 16, 16, 4))
+    traj = sd.invert(lat, emb, num_inference_steps=2)
+    out = sd.null_optimization(traj, emb, num_inference_steps=2,
+                               num_inner_steps=2)
+    assert out.shape[0] == 2
+    assert np.isfinite(np.asarray(out)).all()

@@ -1,0 +1,90 @@
+"""Occupancy grid: EMA density cache for empty-space skipping.
+
+Reconstructs torch-ngp's CUDA occupancy-grid machinery (SURVEY.md §2.5 —
+"occupancy-grid pruning ... CUDA stream compaction") the XLA way: a dense
+(G³,) density cache updated by EMA, thresholded into a boolean field, and a
+**fixed-shape compaction**: instead of dynamically dropping empty samples
+(dynamic shapes — impossible under jit), each ray's S stratified candidates
+are stably partitioned so occupied samples come first, and only the first
+K < S slots are evaluated by the field MLP. Same asymptotic win as stream
+compaction, static shapes throughout.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class OccupancyGridConfig:
+    resolution: int = 128
+    bound: float = 1.0
+    ema_decay: float = 0.95
+    density_threshold: float = 0.01
+    update_chunk: int = 64 ** 3
+
+
+def init_occupancy(cfg: OccupancyGridConfig) -> jnp.ndarray:
+    """Dense density cache (G³,), optimistic init (everything occupied)."""
+    return jnp.full((cfg.resolution ** 3,), 1.0, jnp.float32)
+
+
+def cell_centers(cfg: OccupancyGridConfig) -> jnp.ndarray:
+    """(G³, 3) world coordinates of cell centers."""
+    G = cfg.resolution
+    ax = (jnp.arange(G, dtype=jnp.float32) + 0.5) / G * 2.0 - 1.0
+    gx, gy, gz = jnp.meshgrid(ax, ax, ax, indexing="ij")
+    return jnp.stack([gx.ravel(), gy.ravel(), gz.ravel()],
+                     axis=-1) * cfg.bound
+
+
+def lookup(grid: jnp.ndarray, x: jnp.ndarray,
+           cfg: OccupancyGridConfig) -> jnp.ndarray:
+    """Density cache value at world positions x (..., 3)."""
+    G = cfg.resolution
+    u = (x / cfg.bound + 1.0) / 2.0
+    idx = jnp.clip((u * G).astype(jnp.int32), 0, G - 1)
+    flat = (idx[..., 0] * G + idx[..., 1]) * G + idx[..., 2]
+    return grid[flat]
+
+
+def occupied(grid: jnp.ndarray, x: jnp.ndarray,
+             cfg: OccupancyGridConfig) -> jnp.ndarray:
+    return lookup(grid, x, cfg) > cfg.density_threshold
+
+
+def update(grid: jnp.ndarray, density_fn: Callable[[jnp.ndarray], jnp.ndarray],
+           key: jax.Array, cfg: OccupancyGridConfig) -> jnp.ndarray:
+    """EMA refresh (torch-ngp `update_extra_state` semantics): evaluate the
+    field at jittered cell centers, grid ← max(decay·grid, σ)."""
+    centers = cell_centers(cfg)
+    jitter = (jax.random.uniform(key, centers.shape) - 0.5) * \
+        (2.0 * cfg.bound / cfg.resolution)
+    pts = jnp.clip(centers + jitter, -cfg.bound, cfg.bound)
+    sigma = density_fn(pts)
+    return jnp.maximum(grid * cfg.ema_decay, sigma)
+
+
+def mean_density(grid: jnp.ndarray) -> jnp.ndarray:
+    return jnp.mean(grid)
+
+
+def compact_samples(occ_mask: jnp.ndarray, k: int
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fixed-shape stream compaction.
+
+    occ_mask (..., S) bool → (gather_idx (..., K) int32, valid (..., K) bool):
+    indices of the first K occupied samples per ray, in depth order (stable
+    partition via argsort of the negated mask).
+    """
+    S = occ_mask.shape[-1]
+    order = jnp.argsort(~occ_mask, axis=-1, stable=True)     # occupied first
+    gather_idx = order[..., :k]
+    n_occ = jnp.sum(occ_mask, axis=-1, keepdims=True)
+    rank = jax.lax.broadcasted_iota(jnp.int32, gather_idx.shape,
+                                    gather_idx.ndim - 1)
+    valid = rank < n_occ
+    return gather_idx.astype(jnp.int32), valid

@@ -1,0 +1,168 @@
+"""Sketch-Shape guidance: soft occupancy loss pulling density toward a mesh.
+
+Latent-NeRF's Sketch-Shape capability (reference README.md:119-142:
+igl-based point-in-mesh queries, `guide.shape_path`, `guide.proximal_surface`
+band, `optim.lambda_shape`; demo_configs/latent_nerf/lego_man.yaml).
+
+TPU-native split (SURVEY.md §2.6): the mesh query runs ONCE on host — a numpy
+signed-distance grid (unsigned point-triangle distance + generalized
+winding-number sign, the igl-equivalent) — and training samples the grid
+in-jit with trilinear interpolation. The loss is the paper's soft-occupancy
+binary cross-entropy with a `proximal_surface`-width sigmoid band.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _point_triangle_distance_np(points: np.ndarray, tri: np.ndarray
+                                ) -> np.ndarray:
+    """Unsigned distance (P,) from points (P,3) to ONE triangle (3,3)."""
+    a, b, c = tri
+    ab, ac, ap = b - a, c - a, points - a
+    d1 = ap @ ab
+    d2 = ap @ ac
+    nn = np.cross(ab, ac)
+    denom = max(float(nn @ nn), 1e-20)
+    # project on plane, clamp barycentrics edge-wise (standard closest-point)
+    bp = points - b
+    cp = points - c
+    d3 = bp @ ab
+    d4 = bp @ ac
+    d5 = cp @ ab
+    d6 = cp @ ac
+    va = d3 * d6 - d5 * d4
+    vb = d5 * d2 - d1 * d6
+    vc = d1 * d4 - d3 * d2
+    # region tests
+    closest = np.empty_like(points)
+    done = np.zeros(len(points), bool)
+
+    m = (d1 <= 0) & (d2 <= 0)
+    closest[m] = a
+    done |= m
+    m = (~done) & (d3 >= 0) & (d4 <= d3)
+    closest[m] = b
+    done |= m
+    m = (~done) & (d6 >= 0) & (d5 <= d6)
+    closest[m] = c
+    done |= m
+    m = (~done) & (vc <= 0) & (d1 >= 0) & (d3 <= 0)
+    v = np.where(np.abs(d1 - d3) > 1e-20, d1 / (d1 - d3 + 1e-20), 0.0)
+    closest[m] = a + np.outer(v, ab)[m]
+    done |= m
+    m = (~done) & (vb <= 0) & (d2 >= 0) & (d6 <= 0)
+    v = np.where(np.abs(d2 - d6) > 1e-20, d2 / (d2 - d6 + 1e-20), 0.0)
+    closest[m] = a + np.outer(v, ac)[m]
+    done |= m
+    m = (~done) & (va <= 0) & ((d4 - d3) >= 0) & ((d5 - d6) >= 0)
+    v = (d4 - d3) / np.maximum((d4 - d3) + (d5 - d6), 1e-20)
+    closest[m] = b + np.outer(v, c - b)[m]
+    done |= m
+    m = ~done
+    vsum = np.maximum(va + vb + vc, 1e-20)
+    v = vb / vsum
+    w = vc / vsum
+    closest[m] = (a + np.outer(v, ab) + np.outer(w, ac))[m]
+    return np.linalg.norm(points - closest, axis=-1)
+
+
+def _winding_number_np(points: np.ndarray, verts: np.ndarray,
+                       faces: np.ndarray, chunk: int = 2048) -> np.ndarray:
+    """Generalized winding number (P,) — robust inside test (igl-equivalent,
+    van Oosterom–Strackee solid angle)."""
+    out = np.zeros(len(points), np.float64)
+    tri = verts[faces]          # (F, 3, 3)
+    for s in range(0, len(points), chunk):
+        p = points[s:s + chunk]                           # (P, 3)
+        ra = tri[None, :, 0] - p[:, None]                 # (P, F, 3)
+        rb = tri[None, :, 1] - p[:, None]
+        rc = tri[None, :, 2] - p[:, None]
+        la = np.linalg.norm(ra, axis=-1)
+        lb = np.linalg.norm(rb, axis=-1)
+        lc = np.linalg.norm(rc, axis=-1)
+        num = np.einsum("pfi,pfi->pf", ra, np.cross(rb, rc))
+        den = (la * lb * lc + np.einsum("pfi,pfi->pf", ra, rb) * lc +
+               np.einsum("pfi,pfi->pf", rb, rc) * la +
+               np.einsum("pfi,pfi->pf", rc, ra) * lb)
+        out[s:s + chunk] = np.sum(2.0 * np.arctan2(num, den), axis=-1)
+    return out / (4.0 * np.pi)
+
+
+@dataclasses.dataclass(frozen=True)
+class SDFGrid:
+    values: jnp.ndarray      # (G, G, G) signed distance (− inside)
+    bound: float
+    resolution: int
+
+    @classmethod
+    def from_mesh(cls, vertices: np.ndarray, faces: np.ndarray,
+                  resolution: int = 64, bound: float = 1.0,
+                  dist_chunk: int = 4096) -> "SDFGrid":
+        G = resolution
+        ax = (np.arange(G) + 0.5) / G * 2.0 - 1.0
+        gx, gy, gz = np.meshgrid(ax, ax, ax, indexing="ij")
+        pts = np.stack([gx.ravel(), gy.ravel(), gz.ravel()],
+                       axis=-1).astype(np.float64) * bound
+
+        tri = vertices[faces]                            # (F, 3, 3)
+        dist = np.full(len(pts), np.inf)
+        # chunk over points × loop faces in blocks via broadcasting on edges
+        for s in range(0, len(pts), dist_chunk):
+            p = pts[s:s + dist_chunk]
+            dmin = np.full(len(p), np.inf)
+            for f in range(tri.shape[0]):
+                d = _point_triangle_distance_np(p, tri[f])
+                dmin = np.minimum(dmin, d)
+            dist[s:s + dist_chunk] = dmin
+
+        wn = _winding_number_np(pts, vertices.astype(np.float64),
+                                faces.astype(np.int64))
+        sdf = np.where(wn > 0.5, -dist, dist).astype(np.float32)
+        return cls(values=jnp.asarray(sdf.reshape(G, G, G)),
+                   bound=bound, resolution=G)
+
+    def sample(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Trilinear SDF lookup at world points (..., 3), in-jit."""
+        G = self.resolution
+        u = (x / self.bound + 1.0) / 2.0 * G - 0.5
+        u0 = jnp.floor(u)
+        w = u - u0
+        u0 = jnp.clip(u0.astype(jnp.int32), 0, G - 1)
+        u1 = jnp.clip(u0 + 1, 0, G - 1)
+        v = self.values
+
+        def g(ix, iy, iz):
+            return v[ix, iy, iz]
+
+        c = 0.0
+        for dx, wx in ((u0[..., 0], 1 - w[..., 0]), (u1[..., 0], w[..., 0])):
+            for dy, wy in ((u0[..., 1], 1 - w[..., 1]),
+                           (u1[..., 1], w[..., 1])):
+                for dz, wz in ((u0[..., 2], 1 - w[..., 2]),
+                               (u1[..., 2], w[..., 2])):
+                    c = c + wx * wy * wz * g(dx, dy, dz)
+        return c
+
+
+def sketch_shape_loss(sdf: SDFGrid, xyzs: jnp.ndarray, sigmas: jnp.ndarray,
+                      valid: jnp.ndarray, proximal_surface: float,
+                      delta: float = 0.05) -> jnp.ndarray:
+    """Soft occupancy BCE (Latent-NeRF Sketch-Shape, README.md:140-142).
+
+    Target occupancy o(x) = sigmoid(−sdf(x)/proximal_surface); predicted
+    occupancy α(x) = 1 − exp(−σ·δ). Points outside the proximal band drive
+    density down, inside drive it up; `proximal_surface` widens the
+    uncommitted band near the surface."""
+    target = jax.nn.sigmoid(-sdf.sample(xyzs) / proximal_surface)
+    alpha = 1.0 - jnp.exp(-sigmas * delta)
+    alpha = jnp.clip(alpha, 1e-5, 1.0 - 1e-5)
+    bce = -(target * jnp.log(alpha) +
+            (1.0 - target) * jnp.log(1.0 - alpha))
+    denom = jnp.maximum(jnp.sum(valid), 1.0)
+    return jnp.sum(bce * valid) / denom

@@ -1,0 +1,296 @@
+"""TexturedMeshScene — mesh + learnable latent UV texture (+displacement).
+
+TPU-native re-design of the reference's `TexturedMeshModel` nn.Modules
+(src/latent_paint/models/textured_mesh.py:16-240 and
+src/latent_paint_mesh/models/textured_mesh.py): the scene is split into a
+static geometry/config part (this dataclass) and a pure params pytree, so the
+full render → SDS → grad step compiles to a single XLA program.
+
+Capabilities: latent (4-ch) and RGB texture modes, learnable background
+env-sphere face colors, UV source priority (mesh UVs → cache → unwrap),
+per-vertex displacement with Laplacian regularization, SH lights, body/head
+dual cameras, OBJ/MTL/albedo export, latent→RGB checkpoint migration hook.
+"""
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpunerf.core import camera as cam
+from tpunerf.core.obj_io import save_obj_with_mtl
+from tpunerf.core.views import ViewBatch
+from tpunerf.guidance.stable_diffusion import (LINEAR_RGB_ESTIMATOR,
+                                               rgb_to_latent_init)
+from tpunerf.kernels import texture as texk
+from tpunerf.meshrep import render as mrender
+from tpunerf.meshrep import shapes, uv_unwrap
+from tpunerf.meshrep.laplacian import UniformLaplacian
+from tpunerf.meshrep.mesh import Mesh
+
+Params = Dict[str, jnp.ndarray]
+
+
+@dataclasses.dataclass
+class TexturedMeshScene:
+    mesh: Mesh                       # normalized target mesh
+    env_sphere: Mesh                 # background dome
+    face_uv_attr: jnp.ndarray        # (1, F, 3, 2)
+    latent_mode: bool = True
+    texture_resolution: int = 128
+    render_grid_size: int = 64
+    latent_size: int = 64            # SDS latent resolution
+    interpolation_mode: str = "bilinear"
+    camera: mrender.CameraSpec = dataclasses.field(
+        default_factory=mrender.CameraSpec)
+    head_camera: Optional[mrender.CameraSpec] = None  # dual-camera mode
+    dy: float = 0.25                 # look-at height (guide.dy)
+    enable_displacement: bool = False
+    soft_mask_sigma: Optional[float] = None
+    laplacian: Optional[UniformLaplacian] = None
+    verts0_lap: Optional[jnp.ndarray] = None
+    background: str = "env_sphere"   # or "white"
+
+    # ------------------------------------------------------------------ #
+    @classmethod
+    def create(cls, shape_path: Optional[str] = None,
+               mesh: Optional[Mesh] = None, shape_scale: float = 0.6,
+               dy: float = 0.25, latent_mode: bool = True,
+               texture_resolution: int = 128, render_grid_size: int = 64,
+               interpolation_mode: str = "bilinear",
+               cache_dir: Optional[Path] = None,
+               enable_displacement: bool = False,
+               dual_camera: bool = False,
+               soft_mask_sigma: Optional[float] = None,
+               env_mesh: Optional[Mesh] = None) -> "TexturedMeshScene":
+        """Load + normalize the target mesh and resolve its UV source
+        (reference textured_mesh.py:52-109)."""
+        if mesh is None:
+            if shape_path in (None, "sphere"):
+                mesh = shapes.uv_sphere()
+            else:
+                mesh = Mesh.load(shape_path)
+        mesh = mesh.normalize(target_scale=shape_scale, dy=dy)
+
+        if mesh.vt is not None and mesh.ft is not None and \
+                mesh.vt.shape[0] > 0 and int(mesh.ft.min()) > -1:
+            vt, ft = mesh.vt, mesh.ft
+        else:
+            vt_np, ft_np = uv_unwrap.get_or_build_uvs(
+                np.asarray(mesh.vertices), np.asarray(mesh.faces), cache_dir)
+            vt, ft = jnp.asarray(vt_np), jnp.asarray(ft_np)
+        face_uv_attr = cam.index_vertices_by_faces(vt, ft)[None]
+
+        env = env_mesh if env_mesh is not None else shapes.env_sphere()
+        lap = verts0_lap = None
+        if enable_displacement:
+            lap = UniformLaplacian.from_faces(np.asarray(mesh.faces),
+                                              mesh.num_vertices)
+            verts0_lap = lap.matvec(mesh.vertices)
+
+        return cls(mesh=mesh, env_sphere=env, face_uv_attr=face_uv_attr,
+                   latent_mode=latent_mode,
+                   texture_resolution=texture_resolution,
+                   render_grid_size=render_grid_size,
+                   interpolation_mode=interpolation_mode,
+                   camera=(mrender.BODY_CAMERA if dual_camera
+                           else mrender.CameraSpec()),
+                   head_camera=mrender.HEAD_CAMERA if dual_camera else None,
+                   dy=dy, enable_displacement=enable_displacement,
+                   soft_mask_sigma=soft_mask_sigma, laplacian=lap,
+                   verts0_lap=verts0_lap)
+
+    # ------------------------------------------------------------------ #
+    def init_params(self, key: jax.Array,
+                    init_rgb_color=(1.0, 0.0, 0.0),
+                    texture_latents: Optional[jnp.ndarray] = None,
+                    texture_rgb: Optional[jnp.ndarray] = None) -> Params:
+        """Learnable state (reference `init_paint`, textured_mesh.py:60-79):
+        latent texture init = 0.3·latent(red) + 0.4·noise; random background
+        face colors; zero RGB-finetune texture; optional displacement/lights.
+
+        `texture_latents`/`texture_rgb` seed the textures from a reference
+        sampled texture (the mesh-trainer path, latent_paint_mesh/training/
+        trainer.py:67-84)."""
+        k_bg, k_tex = jax.random.split(key)
+        R = self.texture_resolution
+        Fb = self.env_sphere.num_faces
+        params: Params = {}
+        params["background_sphere_colors"] = jax.random.uniform(
+            k_bg, (1, Fb, 3, 4))
+        if texture_latents is not None:
+            params["texture_img"] = texture_latents
+        else:
+            init_latent = rgb_to_latent_init(
+                jnp.asarray(init_rgb_color, jnp.float32))
+            params["texture_img"] = (
+                init_latent[None, None, None, :] * 0.3 +
+                0.4 * jax.random.normal(k_tex, (1, R, R, 4)))
+        params["texture_img_rgb_finetune"] = (
+            texture_rgb if texture_rgb is not None
+            else jnp.zeros((1, R, R, 3)))
+        if self.enable_displacement:
+            params["displacement"] = jnp.zeros_like(self.mesh.vertices)
+            params["lights"] = jnp.zeros((1, 9)).at[0, 0].set(3.0)
+        return params
+
+    def trainable_keys(self) -> Tuple[str, ...]:
+        """Which params the texture optimizer owns (reference `get_params`,
+        textured_mesh.py:114-118): latent vs RGB mode select the texture;
+        displacement has its own optimizer (mesh trainer :330-333)."""
+        tex = "texture_img" if self.latent_mode else "texture_img_rgb_finetune"
+        return ("background_sphere_colors", tex)
+
+    # ------------------------------------------------------------------ #
+    def _active_texture(self, params: Params) -> jnp.ndarray:
+        if self.latent_mode:
+            return params["texture_img"]
+        return params["texture_img_rgb_finetune"]
+
+    def _background_colors(self, params: Params) -> jnp.ndarray:
+        bg = params["background_sphere_colors"]
+        if not self.latent_mode:
+            bg = bg @ LINEAR_RGB_ESTIMATOR
+        return bg
+
+    def _camera_for(self, views: ViewBatch) -> Tuple[mrender.CameraSpec, Any]:
+        """Static single camera, or per-view body/head selection."""
+        if self.head_camera is None:
+            return self.camera, None
+        return self.camera, views.is_body
+
+    def render_train(self, params: Params, views: ViewBatch,
+                     with_lighting: bool = False) -> Dict[str, jnp.ndarray]:
+        """Training render (reference `render_train`, textured_mesh.py:
+        187-220): fg textured render + env-sphere bg, composited through the
+        detached mask, resized to the SDS latent grid."""
+        texture = self._active_texture(params)
+        disp = params.get("displacement") if self.enable_displacement else None
+        lights = params.get("lights") if with_lighting else None
+
+        out = self._render_views(
+            params, views, texture, dims=(self.render_grid_size,) * 2,
+            white_background=False, displacement=disp,
+            compute_normals=with_lighting or self.enable_displacement,
+            lights=lights)
+
+        bg_img, _ = mrender.render_single_view(
+            self.env_sphere.vertices, self.env_sphere.faces,
+            self._background_colors(params), views.theta, views.phi,
+            views.radius,
+            spec=dataclasses.replace(self.camera, look_at_height=self.dy),
+            dims=(self.render_grid_size,) * 2)
+
+        mask = jax.lax.stop_gradient(out.mask)
+        image = bg_img * (1.0 - mask) + out.image * mask
+
+        result = {"image": image, "mask": mask, "background": bg_img,
+                  "foreground": out.image, "soft_mask": out.mask,
+                  "normals": out.normals, "lighting": out.lighting}
+        if self.latent_mode and self.render_grid_size != self.latent_size:
+            for k in ("image", "mask", "background", "foreground"):
+                result[k] = texk.resize_bicubic(
+                    result[k], self.latent_size, self.latent_size)
+
+        if self.laplacian is not None and disp is not None:
+            result["laplacian_loss"] = self.laplacian.loss(
+                self.mesh.vertices + disp, self.verts0_lap)
+            result["displacement_norm"] = jnp.mean(disp ** 2)
+        return result
+
+    def _render_views(self, params: Params, views: ViewBatch,
+                      texture: jnp.ndarray, dims, white_background: bool,
+                      displacement=None, compute_normals=False, lights=None
+                      ) -> mrender.RenderOutput:
+        spec = dataclasses.replace(self.camera, look_at_height=self.dy) \
+            if self.head_camera is None else self.camera
+        B = views.batch_size
+        tex_b = jnp.broadcast_to(texture, (B, *texture.shape[1:]))
+
+        def one(spec_):
+            return mrender.render_single_view_texture(
+                self.mesh.vertices, self.mesh.faces, self.face_uv_attr,
+                tex_b, views.theta, views.phi, views.radius, spec=spec_,
+                dims=dims, interpolation_mode=self.interpolation_mode,
+                white_background=white_background,
+                detach_uv=not self.enable_displacement,
+                displacement=displacement, compute_normals=compute_normals,
+                lights=lights, soft_mask_sigma=self.soft_mask_sigma)
+
+        if self.head_camera is None:
+            return one(spec)
+        # dual body/head cameras (reference mesh render.py:18-32,182-189):
+        # render both projections, select per view
+        body_out = one(self.camera)
+        head_out = one(self.head_camera)
+        sel = views.is_body.astype(jnp.float32)[:, None, None, None]
+
+        def mix(a, b):
+            if a is None:
+                return None
+            return a * sel + b * (1 - sel)
+
+        return mrender.RenderOutput(
+            image=mix(body_out.image, head_out.image),
+            mask=mix(body_out.mask, head_out.mask),
+            face_idx=jnp.where(views.is_body[:, None, None],
+                               body_out.face_idx, head_out.face_idx),
+            normals=mix(body_out.normals, head_out.normals),
+            lighting=mix(body_out.lighting, head_out.lighting))
+
+    def render_test(self, params: Params, views: ViewBatch,
+                    decode_fn: Optional[Callable] = None,
+                    dims: Tuple[int, int] = (512, 512),
+                    with_lighting: bool = False) -> Dict[str, jnp.ndarray]:
+        """Eval render (reference `render_test`, textured_mesh.py:222-240):
+        decode the latent texture to RGB first, white background."""
+        if self.latent_mode:
+            assert decode_fn is not None, \
+                "decode function was not supplied to decode the latent texture"
+            texture = decode_fn(params["texture_img"])
+        else:
+            texture = params["texture_img_rgb_finetune"]
+        disp = params.get("displacement") if self.enable_displacement else None
+        out = self._render_views(
+            params, views, texture, dims=dims, white_background=True,
+            displacement=disp, compute_normals=with_lighting,
+            lights=params.get("lights") if with_lighting else None)
+        return {"image": out.image, "texture_map": texture, "mask": out.mask,
+                "normals": out.normals, "lighting": out.lighting}
+
+    # ------------------------------------------------------------------ #
+    def export_mesh(self, params: Params, path: Path,
+                    decode_fn: Optional[Callable] = None) -> None:
+        """OBJ + MTL + albedo export (reference `export_mesh`,
+        textured_mesh.py:120-179)."""
+        if self.latent_mode:
+            assert decode_fn is not None
+            colors = decode_fn(params["texture_img"])[0]
+        else:
+            colors = params["texture_img_rgb_finetune"][0]
+        verts = self.mesh.vertices
+        if self.enable_displacement and "displacement" in params:
+            verts = verts + params["displacement"]
+        # rebuild flat vt/ft from the face attribute tensor
+        fuv = np.asarray(self.face_uv_attr[0])        # (F, 3, 2)
+        F = fuv.shape[0]
+        vt = fuv.reshape(-1, 2)
+        ft = np.arange(3 * F, dtype=np.int32).reshape(F, 3)
+        save_obj_with_mtl(path, np.asarray(verts), np.asarray(self.mesh.faces),
+                          vt, ft, np.asarray(colors))
+
+    def migrate_latent_to_rgb(self, params: Params,
+                              decode_fn: Callable) -> Params:
+        """Checkpoint migration for the two-stage latent→RGB finetune
+        (reference load_checkpoint, latent_paint/training/trainer.py:247-265):
+        decode the latent texture and install it as the RGB finetune init."""
+        rgb = decode_fn(params["texture_img"])
+        rgb = texk.resize_bilinear(rgb, self.texture_resolution,
+                                   self.texture_resolution)
+        out = dict(params)
+        out["texture_img_rgb_finetune"] = rgb
+        return out

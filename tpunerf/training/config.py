@@ -1,0 +1,121 @@
+"""Train configuration schema — one typed superset for all apps.
+
+Mirrors the reference's pyrallis dataclasses
+(src/latent_paint/configs/train_config.py:1-98 and
+src/latent_paint_mesh/configs/train_config.py:1-156) with every field a real
+typed dataclass field (the reference leaves `texture_resolution`,
+`diffusion_name` etc. un-annotated and silently non-configurable —
+SURVEY.md §2.1). Parsed by tpunerf.core.config (YAML + dotted CLI).
+"""
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass
+class RenderConfig:
+    """Rendering / view-sampling (reference RenderConfig, train_config.py:5-30
+    + mesh variant :9-33)."""
+    train_grid_size: int = 64
+    eval_grid_size: int = 512
+    radius_range: Tuple[float, float] = (1.0, 1.5)
+    angle_overhead: float = 30.0
+    angle_front: float = 60.0
+    theta_range: Tuple[float, float] = (0.0, 150.0)
+    phi_range: Tuple[float, float] = (0.0, 360.0)
+    backbone: str = "texture-mesh"          # or 'latent-nerf'
+    nerf_type: str = "latent"               # 'latent' | 'rgb'
+    batch_size: int = 1
+    body_prob: float = 1.0                  # dual-camera body/head coin flip
+    # volumetric renderer
+    num_samples_per_ray: int = 128
+    bound: float = 1.0                      # scene AABB half-extent
+
+
+@dataclasses.dataclass
+class GuideConfig:
+    """Guidance (reference GuideConfig, train_config.py:33-48, mesh :36-74)."""
+    text: str = ""
+    append_direction: bool = True
+    shape_path: Optional[str] = None
+    concept_name: Optional[str] = None
+    diffusion_name: str = "sd-v1-4"
+    model_dir: Optional[Path] = None        # converted SD weights dir
+    tiny_diffusion: bool = False            # test/offline mode (mocked UNet)
+    shape_scale: float = 0.6
+    dy: float = 0.25
+    proximal_surface: float = 0.3           # sketch-shape band (README:140-142)
+    texture_resolution: int = 128
+    texture_interpolation_mode: str = "bilinear"
+    guidance_scale: float = 100.0
+    num_inference_steps: int = 50
+    image: Optional[Path] = None            # reference image (paint-mesh)
+    sampled_texture: Optional[Path] = None  # init texture (paint-mesh)
+    use_sd: bool = True                     # StableDiffusion vs PaintByExample
+    append_neg_text: bool = False
+
+
+@dataclasses.dataclass
+class OptimConfig:
+    """Optimization (reference OptimConfig, train_config.py:51-63,
+    mesh :77-117)."""
+    seed: int = 0
+    iters: int = 5000
+    lr: float = 1e-2
+    disp_lr: float = 1e-4
+    resume: bool = False
+    ckpt: Optional[Path] = None
+    min_step: float = 0.02
+    max_step: float = 0.98
+    lambda_shape: float = 5e-6
+    lambda_laplacian: float = 100.0
+    lambda_displacement: float = 10.0
+    mode: int = 0                           # 0 Latent-Paint | 1 TADA | 2 SDEdit
+    use_opt_txt: bool = False
+    # volumetric extras
+    lambda_sparsity: float = 5e-4
+    lambda_opacity: float = 0.0
+    start_shading_iter: Optional[int] = None
+
+
+@dataclasses.dataclass
+class LogConfig:
+    """Logging / experiment layout (reference LogConfig,
+    train_config.py:66-83)."""
+    exp_name: str = "default"
+    exp_root: Path = Path("experiments")
+    save_interval: int = 100
+    eval_size: int = 10
+    full_eval_size: int = 100
+    save_mesh: bool = True
+    max_keep_ckpts: int = 2
+    eval_only: bool = False
+    vis_train_prob: float = 0.05            # 5% train-render dumps
+    log_images: bool = True
+
+    @property
+    def exp_dir(self) -> Path:
+        return self.exp_root / self.exp_name
+
+
+@dataclasses.dataclass
+class DistConfig:
+    """Device-mesh layout (new capability, SURVEY.md §2.7)."""
+    data_axis: int = -1     # −1 = all devices on data; else explicit size
+    rays_axis: int = 1
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    log: LogConfig = dataclasses.field(default_factory=LogConfig)
+    render: RenderConfig = dataclasses.field(default_factory=RenderConfig)
+    optim: OptimConfig = dataclasses.field(default_factory=OptimConfig)
+    guide: GuideConfig = dataclasses.field(default_factory=GuideConfig)
+    dist: DistConfig = dataclasses.field(default_factory=DistConfig)
+
+    def __post_init__(self):
+        # eval-only requires a checkpoint (reference train_config.py:94-97)
+        if self.log.eval_only and not (self.optim.resume or self.optim.ckpt):
+            self.optim.resume = True

