@@ -1,0 +1,94 @@
+"""End-to-end volumetric latent-NeRF training (BASELINE configs #1/#3/#4
+shrunk to CPU scale): SDS + occupancy updates + sketch-shape + trainer."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpunerf.training.config import (GuideConfig, LogConfig, OptimConfig,
+                                     RenderConfig, TrainConfig)
+from tpunerf.training.latent_nerf_app import LatentNeRFApp
+from tpunerf.training.trainer import Trainer
+
+
+def _cfg(tmp_path, **over):
+    base = dict(
+        log=LogConfig(exp_name="nerf", exp_root=tmp_path, save_interval=4,
+                      eval_size=1, full_eval_size=1, vis_train_prob=0.0,
+                      save_mesh=False),
+        render=RenderConfig(train_grid_size=16, eval_grid_size=32,
+                            num_samples_per_ray=32),
+        optim=OptimConfig(iters=5, seed=0, lr=1e-2),
+        guide=GuideConfig(text="a sand castle", tiny_diffusion=True),
+    )
+    base.update(over)
+    return TrainConfig(**base)
+
+
+def test_unconstrained_training_step(tmp_path):
+    cfg = _cfg(tmp_path)
+    app = LatentNeRFApp.create(cfg)
+    trainer = Trainer(cfg, app)
+    table_before = np.asarray(
+        trainer.params["field"]["params"]["hash_table"]).copy()
+    occ_before = np.asarray(trainer.params["occ_grid"]).copy()
+    trainer.train()
+    table_after = np.asarray(trainer.params["field"]["params"]["hash_table"])
+    assert np.abs(table_after - table_before).max() > 0
+    assert np.isfinite(table_after).all()
+    # occupancy grid refreshed by post_step (not by the optimizer)
+    assert np.abs(np.asarray(trainer.params["occ_grid"]) - occ_before).max() > 0
+    # eval artifacts exist
+    assert len(list((cfg.log.exp_dir / "vis" / "eval").glob("*.png"))) > 0
+
+
+def test_sketch_shape_guided_training(tmp_path):
+    cfg = _cfg(tmp_path, guide=GuideConfig(
+        text="a teddy bear", tiny_diffusion=True, shape_path="sphere",
+        proximal_surface=0.2))
+    cfg = dataclasses.replace(
+        cfg, optim=dataclasses.replace(cfg.optim, iters=3, lambda_shape=1.0))
+    app = LatentNeRFApp.create(cfg)
+    assert app.scene.sdf is not None
+    trainer = Trainer(cfg, app)
+    trainer.train()
+    assert np.isfinite(
+        np.asarray(trainer.params["field"]["params"]["hash_table"])).all()
+
+
+def test_rgb_refinement_mode(tmp_path):
+    cfg = _cfg(tmp_path, render=RenderConfig(
+        train_grid_size=16, eval_grid_size=32, num_samples_per_ray=32,
+        nerf_type="rgb"))
+    cfg = dataclasses.replace(cfg,
+                              optim=dataclasses.replace(cfg.optim, iters=2))
+    app = LatentNeRFApp.create(cfg)
+    trainer = Trainer(cfg, app)
+    trainer.train()
+    from tpunerf.core.views import circle_poses
+    views = circle_poses(1, trainer.view_cfg)
+    out = app.eval_render(trainer.params, views, (32, 32))
+    assert out["image"].shape == (1, 32, 32, 3)
+    assert float(out["image"].max()) <= 1.0
+
+
+def test_single_frame_fwd_bwd_finite(tmp_path):
+    """BASELINE config #1: single 64×64-style latent frame, fixed camera,
+    CPU fwd+bwd check (here 16×16 for speed)."""
+    cfg = _cfg(tmp_path)
+    app = LatentNeRFApp.create(cfg)
+    params = app.init_params(jax.random.key(0))
+    from tpunerf.core.views import ViewBatch
+    views = ViewBatch(theta=jnp.array([1.0]), phi=jnp.array([0.5]),
+                      radius=jnp.array([1.8]),
+                      dirs=jnp.array([0], jnp.int32),
+                      is_body=jnp.array([True]))
+    loss, grads = jax.value_and_grad(
+        lambda p: app.loss_fn(p, views, jax.random.key(1),
+                              jnp.asarray(0))[0])(params)
+    assert np.isfinite(float(loss))
+    leaves = jax.tree_util.tree_leaves(grads["field"])
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    assert sum(float(jnp.abs(l).sum()) for l in leaves) > 0

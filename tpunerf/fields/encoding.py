@@ -26,11 +26,16 @@ _PRIMES = (1, 2654435761, 805459861)
 
 @dataclasses.dataclass(frozen=True)
 class HashGridConfig:
-    n_levels: int = 16
+    """Defaults sized for TPU: T = 2¹¹ keeps the whole table VMEM-resident
+    for the Pallas gather kernel (kernels/hashgrid.py), and 256³ top
+    resolution matches the 64×64-latent supervision bandwidth. torch-ngp's
+    (T=2¹⁹, 2048³) remains available for parity experiments via the jnp
+    path."""
+    n_levels: int = 12
     n_features_per_level: int = 2
-    log2_hashmap_size: int = 19
+    log2_hashmap_size: int = 11
     base_resolution: int = 16
-    desired_resolution: int = 2048
+    desired_resolution: int = 256
 
     @property
     def table_size(self) -> int:
@@ -75,16 +80,17 @@ def _corner_index(ix: jnp.ndarray, iy: jnp.ndarray, iz: jnp.ndarray,
     return jnp.where(dense, dense_idx, hashed.astype(jnp.int32))
 
 
-def hash_encode(x: jnp.ndarray, table: jnp.ndarray,
-                cfg: HashGridConfig) -> jnp.ndarray:
-    """x (N, 3) in [0,1]³, table (L, T, F) → features (N, L·F).
-
-    Vectorized over all levels at once: the per-level gather becomes one
-    (L, N, 8) indexed lookup — XLA fuses the trilinear weights into the
-    gather consumers.
-    """
-    res = jnp.asarray(cfg.level_resolutions())             # (L,)
-    dense = ((res + 1) ** 3) <= cfg.table_size             # (L,)
+def corner_indices_and_weights(x: jnp.ndarray, cfg: HashGridConfig
+                               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """x (N, 3) in [0,1]³ → (idx8 (L, N, 8) int32 table slots,
+    w8 (L, N, 8) trilinear weights). Pure int/VPU math, shared by the jnp
+    forward, the Pallas kernel's XLA backward, and tests."""
+    res_np = cfg.level_resolutions()
+    res = jnp.asarray(res_np)                              # (L,)
+    # host-side int64: (res+1)³ overflows int32 for fine levels, and
+    # int32-overflow wrap differs between CPU and TPU backends
+    dense = jnp.asarray(
+        (res_np.astype(np.int64) + 1) ** 3 <= cfg.table_size)  # (L,)
 
     xl = x[None, :, :] * res[:, None, None].astype(x.dtype)  # (L, N, 3)
     x0 = jnp.floor(xl)
@@ -92,22 +98,38 @@ def hash_encode(x: jnp.ndarray, table: jnp.ndarray,
     x0 = x0.astype(jnp.int32)
     x0 = jnp.clip(x0, 0, res[:, None, None])               # guard edges
 
-    feats = []
-    L, N, _ = xl.shape
-    # 8 corners, weights as product of per-axis lerp terms
-    out = jnp.zeros((L, N, cfg.n_features_per_level), x.dtype)
+    idxs = []
+    wgts = []
     for corner in range(8):
         dx, dy, dz = (corner >> 2) & 1, (corner >> 1) & 1, corner & 1
         ix = jnp.minimum(x0[..., 0] + dx, res[:, None])
         iy = jnp.minimum(x0[..., 1] + dy, res[:, None])
         iz = jnp.minimum(x0[..., 2] + dz, res[:, None])
-        idx = _corner_index(ix, iy, iz, res[:, None], cfg.table_size,
-                            dense[:, None])                 # (L, N)
-        f = jnp.take_along_axis(table, idx[..., None], axis=1)  # (L, N, F)
-        wx = jnp.where(dx == 1, w[..., 0], 1.0 - w[..., 0])
-        wy = jnp.where(dy == 1, w[..., 1], 1.0 - w[..., 1])
-        wz = jnp.where(dz == 1, w[..., 2], 1.0 - w[..., 2])
-        out = out + (wx * wy * wz)[..., None] * f
+        idxs.append(_corner_index(ix, iy, iz, res[:, None], cfg.table_size,
+                                  dense[:, None]))          # (L, N)
+        wx = w[..., 0] if dx else 1.0 - w[..., 0]
+        wy = w[..., 1] if dy else 1.0 - w[..., 1]
+        wz = w[..., 2] if dz else 1.0 - w[..., 2]
+        wgts.append(wx * wy * wz)
+    return jnp.stack(idxs, axis=-1), jnp.stack(wgts, axis=-1)
+
+
+def hash_encode(x: jnp.ndarray, table: jnp.ndarray,
+                cfg: HashGridConfig) -> jnp.ndarray:
+    """x (N, 3) in [0,1]³, table (L, T, F) → features (N, L·F).
+
+    jnp reference path. One fused gather over all levels+corners — XLA TPU
+    gather has large per-call overhead, so 8 separate lookups cost ~4× more
+    than a single batched one (measured on v5e). The Pallas fast path lives
+    in kernels/hashgrid.py.
+    """
+    L = cfg.n_levels
+    N = x.shape[0]
+    idx8, w8 = corner_indices_and_weights(x, cfg)           # (L, N, 8)
+    f8 = jnp.take_along_axis(table, idx8.reshape(L, N * 8)[..., None],
+                             axis=1)                        # (L, 8N, F)
+    f8 = f8.reshape(L, N, 8, cfg.n_features_per_level).astype(x.dtype)
+    out = jnp.einsum("lnc,lncf->lnf", w8, f8)
     return out.transpose(1, 0, 2).reshape(N, cfg.out_dim)
 
 

@@ -100,7 +100,8 @@ class LatentNeRFField(nn.Module):
         cfg = self.config
         x01 = (x + cfg.bound) / (2 * cfg.bound)
         x01 = jnp.clip(x01, 0.0, 1.0)
-        h = hash_encode(x01, self.table, cfg.grid)
+        from tpunerf.kernels.hashgrid import hash_encode_auto
+        h = hash_encode_auto(x01, self.table, cfg.grid)
         h = self.sigma_mlp(h)
         raw_sigma = h[..., 0]
         # gaussian blob bias concentrates initial density at the origin

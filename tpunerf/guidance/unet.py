@@ -37,15 +37,20 @@ class UNetConfig:
     dtype: jnp.dtype = jnp.float32
 
     @classmethod
-    def sd_v1(cls, in_channels: int = 4, dtype=jnp.float32) -> "UNetConfig":
-        return cls(in_channels=in_channels, dtype=dtype)
+    def sd_v1(cls, in_channels: int = 4, out_channels: int = 4,
+              dtype=jnp.float32) -> "UNetConfig":
+        """in_channels 4 = SD v1; 5 = depth-conditioned; 9 = inpaint/PbE
+        (reference stable_diffusion_depth.py:341-344,
+        paint_by_example.py:643-646). ε output is always 4-channel."""
+        return cls(in_channels=in_channels, out_channels=out_channels,
+                   dtype=dtype)
 
     @classmethod
-    def tiny(cls, in_channels: int = 4, cross_attention_dim: int = 32,
-             dtype=jnp.float32) -> "UNetConfig":
+    def tiny(cls, in_channels: int = 4, out_channels: int = 4,
+             cross_attention_dim: int = 32, dtype=jnp.float32) -> "UNetConfig":
         """A structurally identical miniature for tests and the mocked-UNet
         SDS plumbing (SURVEY.md §4)."""
-        return cls(in_channels=in_channels, out_channels=in_channels,
+        return cls(in_channels=in_channels, out_channels=out_channels,
                    block_out_channels=(32, 64), layers_per_block=1,
                    cross_attention_dim=cross_attention_dim,
                    attention_num_heads=4, norm_num_groups=8,

@@ -1,0 +1,246 @@
+"""Pallas TPU kernel: multiresolution hash-grid encoding.
+
+The torch-ngp `gridencoder` CUDA extension equivalent (SURVEY.md §2.5/§2.6;
+the BASELINE.json north-star kernel). XLA's TPU gather costs ~6 cycles *per
+element* (measured v5e: 33.5M lookups ≈ 280 ms — the entire frame budget),
+so the forward is a hand-written Mosaic kernel built on the one fast dynamic
+indexing primitive the hardware exposes: `tpu.dynamic_gather`, a within-vreg
+lane shuffle (`take_along_axis(src (A,128), idx (A,128), axis=1)`).
+
+Strategy:
+* the WHOLE table lives in VMEM — (L, T, F) with T ≤ 8192 is ≤ 1 MB;
+* each level's table is viewed as T/128 windows of 128 lanes;
+* per point-tile (8×128 points) and level, loop windows: broadcast the
+  window row, lane-gather every corner's local index, select-accumulate
+  where the index falls in the window.
+
+Per-element cost ≈ (T/128 windows × ~4 VPU ops) / 128 lanes ≈ 0.25–2
+cycles — 20–100× faster than the XLA gather.
+
+Backward (table gradient) stays in XLA as a scatter-add built by jax.grad of
+the jnp reference implementation — position gradients are not needed on this
+path (ray positions are not trained), so the custom VJP returns zero dx.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpunerf.fields.encoding import (HashGridConfig, _PRIMES, hash_encode as
+                                     hash_encode_ref)
+
+_TILE = 1024          # points per grid step (8 sublanes × 128 lanes)
+_WINDOW = 128         # lanes per dynamic_gather window
+
+
+def _kernel(res_ref, dense_ref, xp_ref, yp_ref, zp_ref, table_ref, out_ref, *,
+            cfg: HashGridConfig):
+    """Grid: (point_tiles, L). Blocks: coords (8, 128); out (8, 128, F).
+    res/dense are (L,) scalar-prefetch arrays in SMEM."""
+    level = pl.program_id(1)
+    xs = xp_ref[:]                       # (8, 128) in [0, 1]
+    ys = yp_ref[:]
+    zs = zp_ref[:]
+
+    res_arr = res_ref[level]
+    resf = res_arr.astype(jnp.float32)
+    is_dense = dense_ref[level] > 0
+
+    xl, yl, zl = xs * resf, ys * resf, zs * resf
+    x0 = jnp.clip(jnp.floor(xl), 0, resf)
+    y0 = jnp.clip(jnp.floor(yl), 0, resf)
+    z0 = jnp.clip(jnp.floor(zl), 0, resf)
+    wx, wy, wz = xl - x0, yl - y0, zl - z0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    z0i = z0.astype(jnp.int32)
+
+    T = cfg.table_size
+    n_windows = T // _WINDOW
+
+    idxs = []
+    wgts = []
+    for corner in range(8):
+        dx, dy, dz = (corner >> 2) & 1, (corner >> 1) & 1, corner & 1
+        ix = jnp.minimum(x0i + dx, res_arr)
+        iy = jnp.minimum(y0i + dy, res_arr)
+        iz = jnp.minimum(z0i + dz, res_arr)
+        dense_idx = (ix * (res_arr + 1) + iy) * (res_arr + 1) + iz
+        h = (ix.astype(jnp.uint32)
+             ^ (iy.astype(jnp.uint32) * jnp.uint32(_PRIMES[1]))
+             ^ (iz.astype(jnp.uint32) * jnp.uint32(_PRIMES[2])))
+        h = jnp.bitwise_and(h, jnp.uint32(T - 1)).astype(jnp.int32)
+        idxs.append(jnp.where(is_dense, dense_idx, h))
+        cwx = wx if dx else 1.0 - wx
+        cwy = wy if dy else 1.0 - wy
+        cwz = wz if dz else 1.0 - wz
+        wgts.append(cwx * cwy * cwz)
+
+    for f in range(cfg.n_features_per_level):
+        acc = jnp.zeros((8, _WINDOW), jnp.float32)
+        # static unroll over windows — T is small (≤ 8192 → ≤ 64 windows)
+        # so the unrolled straight-line code pipelines on the VPU without
+        # fori_loop trip overhead
+        for w in range(n_windows):
+            # window row (128,) → broadcast to (8, 128)
+            row = table_ref[level, pl.ds(w * _WINDOW, _WINDOW), f]
+            row_b = jnp.broadcast_to(row.reshape(1, _WINDOW), (8, _WINDOW))
+            base = w * _WINDOW
+            for c in range(8):
+                local = idxs[c] - base
+                inside = (local >= 0) & (local < _WINDOW)
+                g = jnp.take_along_axis(row_b, jnp.clip(local, 0,
+                                                        _WINDOW - 1), axis=1)
+                acc = acc + jnp.where(inside, wgts[c] * g, 0.0)
+        out_ref[f] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _hash_encode_pallas(x: jnp.ndarray, table: jnp.ndarray,
+                        cfg: HashGridConfig) -> jnp.ndarray:
+    N = x.shape[0]
+    pad = (-N) % _TILE
+    xp = jnp.pad(x, ((0, pad), (0, 0)))
+    n_tiles = (N + pad) // _TILE
+    # coordinate planes (tiles·8, 128)
+    planes = xp.reshape(n_tiles * 8, _WINDOW, 3)
+    xs, ys, zs = planes[..., 0], planes[..., 1], planes[..., 2]
+
+    res_np = cfg.level_resolutions()
+    res_arr = jnp.asarray(res_np, jnp.int32)
+    dense_arr = jnp.asarray(
+        [(int(r) + 1) ** 3 <= cfg.table_size for r in res_np], jnp.int32)
+
+    kern = functools.partial(_kernel, cfg=cfg)
+    out = pl.pallas_call(
+        kern,
+        grid=(n_tiles, cfg.n_levels),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # res (L,)
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # dense (L,)
+            pl.BlockSpec((8, _WINDOW), lambda i, l: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, _WINDOW), lambda i, l: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, _WINDOW), lambda i, l: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # full table
+        ],
+        out_specs=pl.BlockSpec(
+            (None, cfg.n_features_per_level, 8, _WINDOW),
+            lambda i, l: (l, 0, i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (cfg.n_levels, cfg.n_features_per_level, n_tiles * 8, _WINDOW),
+            jnp.float32),
+    )(res_arr, dense_arr, xs, ys, zs, table)
+    # (L, F, rows, 128) → (N, L·F); keeping the 128-lane dim minor avoids
+    # tile-padding blowup (F=2 minor would pad 64×)
+    out = out.reshape(cfg.n_levels, cfg.n_features_per_level,
+                      n_tiles * _TILE)
+    out = out.transpose(2, 0, 1).reshape(n_tiles * _TILE, cfg.out_dim)
+    return out[:N]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def hash_encode_fast(x: jnp.ndarray, table: jnp.ndarray,
+                     cfg: HashGridConfig) -> jnp.ndarray:
+    """Pallas forward; XLA scatter backward (table grad only — positions are
+    not trained on the ray-march path, dx ≡ 0)."""
+    return _hash_encode_pallas(x, table, cfg)
+
+
+def _fwd(x, table, cfg):
+    return _hash_encode_pallas(x, table, cfg), (x, table)
+
+
+_BWD_CHUNK = 1 << 17
+
+
+def _bwd(cfg, res, g):
+    """dL/dtable via one-hot matmuls on the MXU.
+
+    XLA's scatter-add costs ~15 ns/update (≈0.5 s per frame here); instead
+    split each table slot j = lo·128 + hi and compute, per level,
+
+        dtable[lo·128+hi, f] = Σ_n  wg[n,f] · [hi_n = hi] · [lo_n = lo]
+                             = (onehot_hi)ᵀ @ (onehot_lo ⊗ wg)
+
+    — two cheap VPU compares and one (128 × n)·(n × lo·F) matmul per chunk,
+    bf16 operands with f32 accumulation. ~20× faster than scatter.
+    Position gradients are not needed on this path (ray positions are not
+    trained): dx ≡ 0.
+    """
+    from tpunerf.fields.encoding import corner_indices_and_weights
+
+    x, table = res
+    L, T, F = table.shape
+    N = x.shape[0]
+    LO = T // _WINDOW
+
+    idx8, w8 = corner_indices_and_weights(jax.lax.stop_gradient(x), cfg)
+    # upstream grad per (level, point, feature)
+    g_lnf = g.reshape(N, L, F).transpose(1, 0, 2)             # (L, N, F)
+    # per-corner weighted grads, flattened corners into the point axis
+    wg = (w8[..., None] * g_lnf[:, :, None, :]).reshape(L, N * 8, F)
+    idx = idx8.reshape(L, N * 8)
+
+    hi = (idx % _WINDOW).astype(jnp.int32)
+    lo = (idx // _WINDOW).astype(jnp.int32)
+    lane_hi = jnp.arange(_WINDOW, dtype=jnp.int32)
+    lane_lo = jnp.arange(LO, dtype=jnp.int32)
+
+    M = idx.shape[1]
+    pad = (-M) % _BWD_CHUNK
+    hi_p = jnp.pad(hi, ((0, 0), (0, pad)))
+    lo_p = jnp.pad(lo, ((0, 0), (0, pad)))
+    wg_p = jnp.pad(wg, ((0, 0), (0, pad), (0, 0)))  # zero grads on padding
+    n_chunks = (M + pad) // _BWD_CHUNK
+
+    def level_grad(args):
+        hi_l, lo_l, wg_l = args
+
+        def chunk_body(carry, chunk):
+            h, l, w = chunk
+            oh_hi = (h[:, None] == lane_hi[None, :]).astype(jnp.bfloat16)
+            oh_lo = (l[:, None] == lane_lo[None, :]).astype(jnp.bfloat16)
+            c = (oh_lo[:, :, None] * w[:, None, :].astype(jnp.bfloat16)
+                 ).reshape(_BWD_CHUNK, LO * F)
+            d = jax.lax.dot_general(
+                oh_hi, c, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)            # (128, LO·F)
+            return carry + d, None
+
+        init = jnp.zeros((_WINDOW, LO * F), jnp.float32)
+        d, _ = jax.lax.scan(
+            chunk_body, init,
+            (hi_l.reshape(n_chunks, _BWD_CHUNK),
+             lo_l.reshape(n_chunks, _BWD_CHUNK),
+             wg_l.reshape(n_chunks, _BWD_CHUNK, F)))
+        # (hi, LO, F) → (LO·128+hi) = table slot
+        return d.reshape(_WINDOW, LO, F).transpose(1, 0, 2).reshape(T, F)
+
+    dtable = jax.lax.map(level_grad, (hi_p, lo_p, wg_p))
+    return jnp.zeros_like(x), dtable
+
+
+hash_encode_fast.defvjp(_fwd, _bwd)
+
+
+def supports_pallas(cfg: HashGridConfig) -> bool:
+    on_tpu = jax.default_backend() == "tpu"
+    return (on_tpu and cfg.table_size <= 8192
+            and cfg.table_size % _WINDOW == 0)
+
+
+def hash_encode_auto(x: jnp.ndarray, table: jnp.ndarray,
+                     cfg: HashGridConfig) -> jnp.ndarray:
+    """TPU → Pallas kernel; other backends → jnp reference."""
+    if supports_pallas(cfg):
+        return hash_encode_fast(x, table, cfg)
+    return hash_encode_ref(x, table, cfg)

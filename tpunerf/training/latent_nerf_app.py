@@ -80,7 +80,7 @@ class LatentNeRFApp:
         return loss, aux
 
     def post_step(self, params: Any, step: int, key: jax.Array) -> Any:
-        if step % self.scene.occ_update_interval == 0:
+        if step == 1 or step % self.scene.occ_update_interval == 0:
             return self._update_occ(params, key)
         return params
 
