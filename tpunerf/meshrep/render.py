@@ -79,8 +79,11 @@ def spherical_harmonic_lighting(normals: jnp.ndarray, lights: jnp.ndarray
         _SH_C[6] * (3 * z * z - 1.0), _SH_C[7] * x * z,
         _SH_C[8] * (x * x - y * y),
     ], axis=-1)                                            # (..., 9)
-    return jnp.einsum("...k,bk->b...", basis, lights) if lights.ndim == 2 \
-        else jnp.sum(basis * lights, axis=-1)
+    if lights.ndim == 2:
+        # (B, 9) → broadcast over the spatial dims of (B, ..., 9)
+        lights = lights.reshape(lights.shape[0],
+                                *([1] * (basis.ndim - 2)), 9)
+    return jnp.sum(basis * lights, axis=-1)
 
 
 def render_single_view(mesh_vertices: jnp.ndarray, faces: jnp.ndarray,
