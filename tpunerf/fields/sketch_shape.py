@@ -104,6 +104,16 @@ class SDFGrid:
     def from_mesh(cls, vertices: np.ndarray, faces: np.ndarray,
                   resolution: int = 64, bound: float = 1.0,
                   dist_chunk: int = 4096) -> "SDFGrid":
+        # native C++ path (tpunerf/native/sdf_grid.cpp) — OpenMP, ~100×
+        # the numpy fallback below on real meshes
+        from tpunerf import native
+        sdf_native = native.sdf_grid(np.asarray(vertices, np.float32),
+                                     np.asarray(faces, np.int32),
+                                     resolution, bound)
+        if sdf_native is not None:
+            return cls(values=jnp.asarray(sdf_native), bound=bound,
+                       resolution=resolution)
+
         G = resolution
         ax = (np.arange(G) + 0.5) / G * 2.0 - 1.0
         gx, gy, gz = np.meshgrid(ax, ax, ax, indexing="ij")

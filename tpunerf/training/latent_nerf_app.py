@@ -117,4 +117,20 @@ class LatentNeRFApp:
         return self.guidance.decode_latents(latents)
 
     def migrate_params(self, params: Any) -> Any:
+        """latent→RGB refinement stage (BASELINE config #4): loading a
+        4-channel-head checkpoint into an RGB (3-channel) field keeps the
+        geometry (hash table, σ-MLP) and re-initializes only the color
+        head's final layer — the volumetric analog of the mesh apps'
+        latent→RGB texture migration (SURVEY.md §5.4)."""
+        expect = self.scene.field.config.out_channels
+        try:
+            cmlp = params["field"]["params"]["color_mlp"]
+            last = sorted(cmlp.keys())[-1]
+            kern = np.asarray(cmlp[last]["kernel"])
+        except (KeyError, TypeError):
+            return params
+        if kern.shape[-1] != expect:
+            fresh = self.scene.init_params(jax.random.key(0))
+            params["field"]["params"]["color_mlp"][last] = \
+                fresh["field"]["params"]["color_mlp"][last]
         return params

@@ -58,8 +58,10 @@ class LatentPaintApp:
 
     @classmethod
     def create(cls, cfg: TrainConfig,
-               guidance: Optional[StableDiffusionGuidance] = None
-               ) -> "LatentPaintApp":
+               guidance: Optional[StableDiffusionGuidance] = None,
+               mesh=None) -> "LatentPaintApp":
+        """`mesh` overrides `guide.shape_path` — the NeRF→mesh fitting stage
+        passes an extracted mesh here (scripts/train_latent_nerf_mesh.py)."""
         latent_mode = cfg.render.nerf_type == "latent"
         if guidance is None:
             guidance = StableDiffusionGuidance.create(
@@ -69,6 +71,7 @@ class LatentPaintApp:
                 latent_mode=latent_mode,
                 min_step=cfg.optim.min_step, max_step=cfg.optim.max_step)
         scene = TexturedMeshScene.create(
+            mesh=mesh,
             shape_path=cfg.guide.shape_path,
             shape_scale=cfg.guide.shape_scale, dy=cfg.guide.dy,
             latent_mode=latent_mode,
