@@ -1,0 +1,81 @@
+"""Scaling-efficiency harness: data-parallel SDS steps over 1→N devices.
+
+The ≥85%-efficiency target of BASELINE.md §2 is defined on multi-host TPU
+slices; this harness measures it wherever it runs — on a real slice it uses
+the local TPU devices, elsewhere it validates the sharded program on virtual
+CPU devices (functional, not a perf statement).
+
+Prints one JSON line: {"devices": [...], "steps_per_s": [...],
+"efficiency": e} where efficiency = throughput(N)/(N·throughput(1)).
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def measure(n_devices: int, iters: int = 8) -> float:
+    import pathlib
+    import tempfile
+
+    from tpunerf.core.views import ViewSamplerConfig, rand_poses
+    from tpunerf.dist.mesh import make_mesh
+    from tpunerf.training.config import (GuideConfig, LogConfig, OptimConfig,
+                                         RenderConfig, TrainConfig)
+    from tpunerf.training.latent_nerf_app import LatentNeRFApp
+
+    cfg = TrainConfig(
+        log=LogConfig(exp_name="scale",
+                      exp_root=pathlib.Path(tempfile.mkdtemp())),
+        render=RenderConfig(train_grid_size=64, num_samples_per_ray=128,
+                            batch_size=n_devices),
+        optim=OptimConfig(iters=1, seed=0),
+        guide=GuideConfig(text="bench", tiny_diffusion=True))
+    app = LatentNeRFApp.create(cfg)
+    layout = make_mesh(jax.devices()[:n_devices], n_data=n_devices, n_rays=1)
+
+    key = jax.random.key(0)
+    params = jax.device_put(app.init_params(key), layout.replicated())
+    tx = app.make_optimizer()
+    opt_state = jax.device_put(tx.init(params), layout.replicated())
+    views = jax.device_put(rand_poses(key, n_devices, ViewSamplerConfig()),
+                           layout.views())
+
+    @jax.jit
+    def step(params, opt_state, key, views):
+        (loss, _), grads = jax.value_and_grad(
+            app.loss_fn, has_aux=True)(params, views, key, jnp.asarray(0))
+        upd, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, upd), opt_state, loss
+
+    params, opt_state, loss = step(params, opt_state, key, views)
+    jax.block_until_ready(loss)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        params, opt_state, loss = step(params, opt_state,
+                                       jax.random.fold_in(key, i), views)
+    jax.block_until_ready(loss)
+    return iters / (time.perf_counter() - t0)
+
+
+def main() -> None:
+    n = len(jax.devices())
+    sizes = sorted({1, 2, n} & set(range(1, n + 1)))
+    results = {s: measure(s) for s in sizes}
+    # batch scales with devices, so perfect scaling keeps the step rate
+    # constant: efficiency = step_rate(N) / step_rate(1)
+    eff = (results[n] / results[1]) if n > 1 else 1.0
+    print(json.dumps({
+        "devices": sizes,
+        "steps_per_s": [round(results[s], 3) for s in sizes],
+        "views_per_s": [round(results[s] * s, 3) for s in sizes],
+        "efficiency": round(eff, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

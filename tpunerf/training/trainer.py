@@ -87,6 +87,22 @@ class Trainer:
         self.opt_state = self.tx.init(self.params)
         self.train_step_idx = 0
 
+        # data-parallel sharding across local devices (SURVEY.md §2.7):
+        # params replicated, view batch split over the `data` axis — XLA
+        # inserts the gradient psum from the sharding annotations
+        self.layout = None
+        n_dev = len(jax.devices())
+        if n_dev > 1 and cfg.render.batch_size % n_dev == 0:
+            from tpunerf.dist.mesh import make_mesh
+            self.layout = make_mesh(n_data=n_dev, n_rays=1)
+            self.params = jax.device_put(self.params,
+                                         self.layout.replicated())
+            self.opt_state = jax.device_put(self.opt_state,
+                                            self.layout.replicated())
+            self.logger.info(
+                f"data-parallel over {n_dev} devices "
+                f"(batch {cfg.render.batch_size})")
+
         self.ckpts = CheckpointManager(self.ckpt_dir,
                                        max_keep=cfg.log.max_keep_ckpts)
         if cfg.optim.resume or cfg.optim.ckpt:
@@ -126,6 +142,8 @@ class Trainer:
             self.train_step_idx += 1
             self.key, k_view, k_loss = jax.random.split(self.key, 3)
             views = rand_poses(k_view, cfg.render.batch_size, self.view_cfg)
+            if self.layout is not None:
+                views = jax.device_put(views, self.layout.views())
             self.params, self.opt_state, loss, gnorm, aux = self._train_step(
                 self.params, self.opt_state, k_loss, views,
                 jnp.asarray(self.train_step_idx))
