@@ -82,6 +82,11 @@ def _kernel(res_ref, dense_ref, xp_ref, yp_ref, zp_ref, table_ref, out_ref, *,
         cwz = wz if dz else 1.0 - wz
         wgts.append(cwx * cwy * cwz)
 
+    # split idx = wid·128 + local once per corner: the per-window test
+    # collapses to one equality compare and the lane index needs no clip
+    wids = [jnp.right_shift(i, 7) for i in idxs]
+    locals_ = [jnp.bitwise_and(i, _WINDOW - 1) for i in idxs]
+
     for f in range(cfg.n_features_per_level):
         acc = jnp.zeros((8, _WINDOW), jnp.float32)
         # static unroll over windows — T is small (≤ 8192 → ≤ 64 windows)
@@ -91,13 +96,9 @@ def _kernel(res_ref, dense_ref, xp_ref, yp_ref, zp_ref, table_ref, out_ref, *,
             # window row (128,) → broadcast to (8, 128)
             row = table_ref[level, pl.ds(w * _WINDOW, _WINDOW), f]
             row_b = jnp.broadcast_to(row.reshape(1, _WINDOW), (8, _WINDOW))
-            base = w * _WINDOW
             for c in range(8):
-                local = idxs[c] - base
-                inside = (local >= 0) & (local < _WINDOW)
-                g = jnp.take_along_axis(row_b, jnp.clip(local, 0,
-                                                        _WINDOW - 1), axis=1)
-                acc = acc + jnp.where(inside, wgts[c] * g, 0.0)
+                g = jnp.take_along_axis(row_b, locals_[c], axis=1)
+                acc = acc + jnp.where(wids[c] == w, wgts[c] * g, 0.0)
         out_ref[f] = acc
 
 
