@@ -190,14 +190,24 @@ class Trainer:
                                  tensor2numpy(np.asarray(
                                      out["texture_map"][0])))
         if save_as_video:
+            # mp4 → gif → pngs, first available (video-encode failures are
+            # non-fatal, reference trainer.py:177-180)
             try:
                 import imageio
                 imageio.mimwrite(self.results_dir /
                                  f"step_{step:06d}_rgb.mp4", frames, fps=25)
-            except Exception as e:  # video-encode failures are non-fatal
-                self.logger.warning(f"video encode failed ({e}); saving pngs")
-                for i, f in enumerate(frames):
-                    self._save_image(out_dir / f"step_{step:06d}_{i:03d}_rgb.png", f)
+            except Exception:
+                try:
+                    import imageio
+                    imageio.mimwrite(
+                        self.results_dir / f"step_{step:06d}_rgb.gif",
+                        frames, duration=40, loop=0)
+                except Exception as e:
+                    self.logger.warning(
+                        f"video encode failed ({e}); saving pngs")
+                    for i, f in enumerate(frames):
+                        self._save_image(
+                            out_dir / f"step_{step:06d}_{i:03d}_rgb.png", f)
         else:
             for i, f in enumerate(frames):
                 self._save_image(out_dir / f"step_{step:06d}_{i:03d}_rgb.png",
