@@ -111,3 +111,24 @@ def test_sampled_texture_init(tmp_path):
     # RGB finetune texture seeded from the sampled texture (≈ 200/255)
     rgb = np.asarray(params["texture_img_rgb_finetune"])
     np.testing.assert_allclose(rgb, 200 / 255, atol=0.02)
+
+
+def test_depth_guided_paint_mesh_batched(tmp_path):
+    """BASELINE config #5 shape: depth-conditioned SD guidance on mesh
+    renders with batched cameras."""
+    cfg = _cfg(tmp_path, mode=0, exp="mdep")
+    cfg = dataclasses.replace(
+        cfg,
+        guide=dataclasses.replace(cfg.guide, diffusion_name="sd-depth"),
+        render=dataclasses.replace(cfg.render, batch_size=2))
+    app = LatentPaintMeshApp.create(cfg)
+    assert app.depth_guidance is not None and app.guidance is None
+    params = app.init_params(jax.random.key(0))
+    views = rand_poses(jax.random.key(1), 2, ViewSamplerConfig())
+    render = app.scene.render_train(params, views)
+    assert render["depth"].shape[0] == 2
+    assert float(render["depth"].max()) > 0  # foreground depth positive
+    g = jax.grad(lambda p: app.loss_fn(p, views, jax.random.key(2),
+                                       jnp.asarray(0))[0])(params)
+    assert np.abs(np.asarray(g["texture_img"])).max() > 0
+    assert np.isfinite(np.asarray(g["texture_img"])).all()

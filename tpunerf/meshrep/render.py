@@ -25,6 +25,7 @@ class RenderOutput(NamedTuple):
     face_idx: jnp.ndarray              # (B, H, W) int32
     normals: Optional[jnp.ndarray] = None   # (B, H, W, 3) world normals
     lighting: Optional[jnp.ndarray] = None  # (B, H, W, 1) SH shading
+    depth: Optional[jnp.ndarray] = None     # (B, H, W, 1) camera −z, 0 = bg
 
 
 @dataclasses.dataclass(frozen=True)
@@ -139,8 +140,10 @@ def render_single_view_texture(
     fv_cam, fv_img, _ = cam.prepare_vertices(
         verts, faces, spec.projection(), transform)
 
-    # Per-face-vertex features: uv (2) [+ world normal (3)]
-    feat_list = [jnp.broadcast_to(uv_face_attr, (B, *uv_face_attr.shape[-3:]))]
+    # Per-face-vertex features: uv (2) + camera depth (1) [+ world normal 3]
+    feat_list = [jnp.broadcast_to(uv_face_attr,
+                                  (B, *uv_face_attr.shape[-3:])),
+                 -fv_cam[..., 2:3]]       # depth = −z (positive in front)
     n_extra = 0
     if compute_normals:
         vn = compute_vertex_normals(verts, faces)          # world space
@@ -163,10 +166,12 @@ def render_single_view_texture(
     else:
         mask = hard_mask
 
+    depth = feats[..., 2:3] * hard_mask
+
     normals_img = None
     lighting = None
     if compute_normals:
-        normals_img = feats[..., 2:2 + n_extra]
+        normals_img = feats[..., 3:3 + n_extra]
         nrm = jnp.maximum(
             jnp.linalg.norm(normals_img, axis=-1, keepdims=True), 1e-12)
         normals_img = normals_img / nrm * hard_mask
@@ -178,4 +183,4 @@ def render_single_view_texture(
     if white_background:
         image = image + (1.0 - hard_mask)
     return RenderOutput(image=image, mask=mask, face_idx=face_idx,
-                        normals=normals_img, lighting=lighting)
+                        normals=normals_img, lighting=lighting, depth=depth)

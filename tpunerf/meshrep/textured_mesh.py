@@ -190,11 +190,13 @@ class TexturedMeshScene:
 
         result = {"image": image, "mask": mask, "background": bg_img,
                   "foreground": out.image, "soft_mask": out.mask,
-                  "normals": out.normals, "lighting": out.lighting}
+                  "normals": out.normals, "lighting": out.lighting,
+                  "depth": out.depth}
         if self.latent_mode and self.render_grid_size != self.latent_size:
-            for k in ("image", "mask", "background", "foreground"):
-                result[k] = texk.resize_bicubic(
-                    result[k], self.latent_size, self.latent_size)
+            for k in ("image", "mask", "background", "foreground", "depth"):
+                if result.get(k) is not None:
+                    result[k] = texk.resize_bicubic(
+                        result[k], self.latent_size, self.latent_size)
 
         if self.laplacian is not None and disp is not None:
             result["laplacian_loss"] = self.laplacian.loss(
@@ -240,7 +242,8 @@ class TexturedMeshScene:
             face_idx=jnp.where(views.is_body[:, None, None],
                                body_out.face_idx, head_out.face_idx),
             normals=mix(body_out.normals, head_out.normals),
-            lighting=mix(body_out.lighting, head_out.lighting))
+            lighting=mix(body_out.lighting, head_out.lighting),
+            depth=mix(body_out.depth, head_out.depth))
 
     def render_test(self, params: Params, views: ViewBatch,
                     decode_fn: Optional[Callable] = None,

@@ -61,6 +61,7 @@ class LatentPaintMeshApp:
     image_embeds: Optional[jnp.ndarray] = None   # PbE exemplar embeds
     ref_image: Optional[jnp.ndarray] = None      # CLIP reference image
     clip: Optional[Tuple[Any, Any]] = None       # (embedder, params)
+    depth_guidance: Optional[Any] = None         # SD-depth backend
 
     @classmethod
     def create(cls, cfg: TrainConfig,
@@ -69,7 +70,18 @@ class LatentPaintMeshApp:
                ) -> "LatentPaintMeshApp":
         latent_mode = cfg.optim.mode == 0
         use_sd = cfg.guide.use_sd
-        if use_sd and guidance is None:
+        use_depth = "depth" in cfg.guide.diffusion_name
+        depth_guidance = None
+        if use_depth:
+            # depth-conditioned SD backend (BASELINE config #5: nascar
+            # paint-mesh with depth conditioning + batched cameras)
+            from tpunerf.guidance.depth import StableDiffusionDepthGuidance
+            depth_guidance = StableDiffusionDepthGuidance.create(
+                jax.random.key(cfg.optim.seed),
+                tiny=cfg.guide.tiny_diffusion,
+                model_dir=cfg.guide.model_dir,
+                min_step=cfg.optim.min_step, max_step=cfg.optim.max_step)
+        if use_sd and not use_depth and guidance is None:
             guidance = StableDiffusionGuidance.create(
                 jax.random.key(cfg.optim.seed),
                 tiny=cfg.guide.tiny_diffusion,
@@ -89,16 +101,18 @@ class LatentPaintMeshApp:
             cache_dir=cfg.log.exp_dir, enable_displacement=True,
             dual_camera=cfg.render.body_prob < 1.0,
             soft_mask_sigma=1e-4)
-        if guidance is not None:
-            scene.latent_size = guidance.latent_size
+        text_backend = depth_guidance if depth_guidance is not None \
+            else guidance
+        if text_backend is not None:
+            scene.latent_size = text_backend.latent_size
 
         # body + head prompt banks (reference trainer :212-237)
-        if guidance is not None:
+        if text_backend is not None:
             text_z = directional_text_embeddings(
-                guidance, cfg.guide.text, cfg.guide.append_direction)
+                text_backend, cfg.guide.text, cfg.guide.append_direction)
             head_prompt = f"a close up face of {cfg.guide.text}"
             text_z_head = directional_text_embeddings(
-                guidance, head_prompt, cfg.guide.append_direction)
+                text_backend, head_prompt, cfg.guide.append_direction)
         else:
             text_z = text_z_head = jnp.zeros((1, 2, 1, 1))
 
@@ -112,7 +126,8 @@ class LatentPaintMeshApp:
 
         return cls(cfg=cfg, scene=scene, guidance=guidance, pbe=pbe,
                    text_z=text_z, text_z_head=text_z_head,
-                   image_embeds=image_embeds, ref_image=ref_image)
+                   image_embeds=image_embeds, ref_image=ref_image,
+                   depth_guidance=depth_guidance)
 
     # ------------------------------------------------------------------ #
     def init_params(self, key: jax.Array) -> Any:
@@ -152,7 +167,15 @@ class LatentPaintMeshApp:
 
         if mode == 0:
             # Latent-Paint SDS (ref :656-660)
-            if self.guidance is not None:
+            if self.depth_guidance is not None:
+                from tpunerf.guidance.depth import normalize_depth
+                text_z = self._select_text(views)
+                depth = jax.lax.stop_gradient(
+                    normalize_depth(render["depth"], render["mask"]))
+                main = self.depth_guidance.train_step_loss(
+                    k_sds, text_z, image, depth,
+                    guidance_scale=cfg.guide.guidance_scale)
+            elif self.guidance is not None:
                 text_z = self._select_text(views)
                 main = self.guidance.train_step_loss(
                     k_sds, text_z, image,
@@ -244,10 +267,16 @@ class LatentPaintMeshApp:
                              size=embedder.config.image_size)
 
     # ------------------------------------------------------------------ #
+    def _decode_fn(self):
+        if self.depth_guidance is not None:
+            return self.depth_guidance.decode_latents
+        if self.guidance is not None:
+            return self.guidance.decode_latents
+        return self.pbe.decode_latents
+
     def eval_render(self, params: Any, views: ViewBatch,
                     dims: Tuple[int, int]) -> Dict[str, jnp.ndarray]:
-        decode = (self.guidance.decode_latents if self.guidance is not None
-                  else self.pbe.decode_latents)
+        decode = self._decode_fn()
         return self.scene.render_test(params, views, decode_fn=decode,
                                       dims=dims,
                                       with_lighting=self.cfg.optim.mode != 0)
@@ -274,14 +303,10 @@ class LatentPaintMeshApp:
             param_labels=label)
 
     def export(self, params: Any, path: Path) -> None:
-        decode = (self.guidance.decode_latents if self.guidance is not None
-                  else self.pbe.decode_latents)
-        self.scene.export_mesh(params, path, decode_fn=decode)
+        self.scene.export_mesh(params, path, decode_fn=self._decode_fn())
 
     def preview_latents(self, latents: jnp.ndarray) -> jnp.ndarray:
-        decode = (self.guidance.decode_latents if self.guidance is not None
-                  else self.pbe.decode_latents)
-        return decode(latents)
+        return self._decode_fn()(latents)
 
     def migrate_params(self, params: Any) -> Any:
         return params
