@@ -160,6 +160,19 @@ class StableDiffusionGuidance:
         self.text_params = jax.tree_util.tree_map(lambda x: x, self.text_params)
         self.text_params["params"]["token_embedding"]["embedding"] = emb
 
+    def load_concept_dir(self, concept_dir: Path) -> str:
+        """Load an sd-concepts-library checkpoint directory
+        (`learned_embeds.bin` + `token_identifier.txt` — the files the
+        reference pulls from the hub at sd.py:130-137). Returns the token."""
+        concept_dir = Path(concept_dir)
+        token = (concept_dir / "token_identifier.txt").read_text().strip()
+        import torch
+        learned = torch.load(concept_dir / "learned_embeds.bin",
+                             map_location="cpu", weights_only=True)
+        trained_token = list(learned.keys())[0]
+        self.load_concept(token, learned[trained_token].numpy())
+        return token
+
     # ------------------------------------------------------------------ #
     # SDS / DDS (jit-friendly loss functions)
     # ------------------------------------------------------------------ #

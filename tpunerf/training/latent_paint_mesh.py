@@ -118,16 +118,27 @@ class LatentPaintMeshApp:
 
         image_embeds = None
         ref_image = None
+        clip = None
         if cfg.guide.image is not None:
             size = (pbe.image_size if pbe is not None else 512)
             ref_image = _load_image(cfg.guide.image, size)
             if pbe is not None:
                 image_embeds = pbe.encode_exemplar(ref_image)
+            else:
+                # CLIP tower for the train_render_clip path
+                # (reference init_clip, trainer.py:172-180)
+                vcfg = (CLIPVisionConfig.tiny() if cfg.guide.tiny_diffusion
+                        else CLIPVisionConfig.vit_l_14())
+                embedder = CLIPImageEmbedder(vcfg)
+                eparams = embedder.init(
+                    jax.random.key(cfg.optim.seed),
+                    jnp.zeros((1, vcfg.image_size, vcfg.image_size, 3)))
+                clip = (embedder, eparams)
 
         return cls(cfg=cfg, scene=scene, guidance=guidance, pbe=pbe,
                    text_z=text_z, text_z_head=text_z_head,
                    image_embeds=image_embeds, ref_image=ref_image,
-                   depth_guidance=depth_guidance)
+                   clip=clip, depth_guidance=depth_guidance)
 
     # ------------------------------------------------------------------ #
     def init_params(self, key: jax.Array) -> Any:
