@@ -154,10 +154,20 @@ class Trainer:
             pbar.update(1)
 
             if self.train_step_idx % 50 == 0:
+                import time as _time
+                jax.block_until_ready(loss)
+                now = _time.perf_counter()
+                dt = now - getattr(self, "_last_metric_time", now)
+                self._last_metric_time = now
+                steps = 50 if dt > 0 else 1
                 loss_f, gnorm_f = float(loss), float(gnorm)
                 pbar.set_description(f"loss {loss_f:+.3e} |g| {gnorm_f:.3e}")
-                self.metrics.write(self.train_step_idx, loss=loss_f,
-                                   grad_norm=gnorm_f)
+                self.metrics.write(
+                    self.train_step_idx, loss=loss_f, grad_norm=gnorm_f,
+                    steps_per_s=(steps / dt) if dt > 0 else 0.0,
+                    rays_per_s=(steps * cfg.render.batch_size *
+                                cfg.render.train_grid_size ** 2 / dt)
+                    if dt > 0 else 0.0)
 
             if self.train_step_idx % cfg.log.save_interval == 0:
                 self.save_checkpoint(full=True)
@@ -260,6 +270,11 @@ class Trainer:
             self.train_step_idx = next_step
             if opt_state is not None:
                 self.opt_state = opt_state
+        if jax.process_count() > 1:
+            # multihost barrier at restore (SURVEY.md §5.3) — every process
+            # must finish reading before any starts mutating checkpoints
+            from jax.experimental import multihost_utils
+            multihost_utils.sync_global_devices("tpunerf_restore")
         self.logger.info(
             f"Restored checkpoint (step {next_step - 1}, "
             f"model_only={model_only})")
