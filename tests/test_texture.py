@@ -54,3 +54,22 @@ def test_resize_bicubic_shape():
     x = jnp.ones((1, 64, 64, 4))
     y = texk.resize_bicubic(x, 32, 32)
     assert y.shape == (1, 32, 32, 4)
+
+
+def test_resize_bicubic_matches_torch(rng):
+    x = rng.standard_normal((2, 24, 24, 3)).astype(np.float32)
+    ours = texk.resize_bicubic(jnp.asarray(x), 64, 64)
+    ref = TF.interpolate(torch.from_numpy(x).permute(0, 3, 1, 2),
+                         size=(64, 64), mode="bicubic",
+                         align_corners=False)
+    ref = ref.permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=3e-5, rtol=1e-4)
+
+
+def test_resize_bicubic_downscale_matches_torch(rng):
+    x = rng.standard_normal((1, 64, 64, 4)).astype(np.float32)
+    ours = texk.resize_bicubic(jnp.asarray(x), 24, 24)
+    ref = TF.interpolate(torch.from_numpy(x).permute(0, 3, 1, 2),
+                         size=(24, 24), mode="bicubic", align_corners=False)
+    ref = ref.permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=3e-5, rtol=1e-4)

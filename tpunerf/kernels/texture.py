@@ -105,10 +105,37 @@ def texture_mapping(texture_coordinates: jnp.ndarray,
 
 
 def resize_bicubic(image: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
-    """NHWC bicubic resize (reference `F.interpolate(mode='bicubic')` at
-    textured_mesh.py:215-218)."""
-    B, _, _, C = image.shape
-    return jax.image.resize(image, (B, height, width, C), method="bicubic")
+    """NHWC bicubic resize matching torch
+    `F.interpolate(mode='bicubic', align_corners=False)` (reference
+    textured_mesh.py:215-218).
+
+    Implemented with the Keys a = −0.75 kernel via separable 1-D passes —
+    `jax.image.resize('bicubic')` uses a = −0.5 and would not match the
+    reference numerically.
+    """
+    B, H, W, C = image.shape
+
+    def axis_weights(n_in: int, n_out: int):
+        # output center i ← input coords (i+.5)·n_in/n_out − .5
+        pos = (jnp.arange(n_out, dtype=jnp.float32) + 0.5) * n_in / n_out - 0.5
+        i0 = jnp.floor(pos)
+        t = pos - i0
+        w = jnp.stack(_cubic_weights(t), axis=-1)        # (n_out, 4)
+        idx = i0[:, None].astype(jnp.int32) + jnp.arange(-1, 3)[None, :]
+        idx = jnp.clip(idx, 0, n_in - 1)                 # replicate edges
+        return idx, w
+
+    def resample(x, axis, n_out):
+        n_in = x.shape[axis]
+        idx, w = axis_weights(n_in, n_out)
+        g = jnp.take(x, idx.reshape(-1), axis=axis)
+        g = jnp.moveaxis(g, axis, 0).reshape(n_out, 4, *[
+            s for i, s in enumerate(jnp.moveaxis(x, axis, 0).shape[1:])])
+        out = jnp.einsum("ok,ok...->o...", w, g)
+        return jnp.moveaxis(out, 0, axis)
+
+    out = resample(image, 1, height)
+    return resample(out, 2, width)
 
 
 def resize_bilinear(image: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
