@@ -161,3 +161,19 @@ def test_null_optimization_smoke(sd):
                                num_inner_steps=2)
     assert out.shape[0] == 2
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_negative_prompt_changes_uncond(sd):
+    emb_plain = sd.get_text_embeds(["a dog"])
+    emb_neg = sd.get_text_embeds(["a dog"], "blurry, low quality")
+    # cond half identical, uncond half differs
+    np.testing.assert_allclose(np.asarray(emb_plain[1]),
+                               np.asarray(emb_neg[1]), atol=1e-6)
+    assert np.abs(np.asarray(emb_plain[0] - emb_neg[0])).max() > 1e-6
+
+
+def test_embeds_to_img(sd):
+    emb = sd.get_text_embeds(["x"])
+    img = sd.embeds_to_img(jax.random.key(0), emb, num_inference_steps=2)
+    assert img.shape == (1, 64, 64, 3)
+    assert float(img.min()) >= 0.0 and float(img.max()) <= 1.0

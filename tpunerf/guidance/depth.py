@@ -104,14 +104,19 @@ class StableDiffusionDepthGuidance:
                    latent_size=latent_size, image_size=image_size)
 
     # ------------------------------------------------------------------ #
-    def get_text_embeds(self, prompts: Sequence[str]) -> jnp.ndarray:
+    def get_text_embeds(self, prompts: Sequence[str],
+                        negative_prompts=None) -> jnp.ndarray:
         if isinstance(prompts, str):
             prompts = [prompts]
+        if negative_prompts is None:
+            negative_prompts = [""] * len(prompts)
+        elif isinstance(negative_prompts, str):
+            negative_prompts = [negative_prompts] * len(prompts)
         cond = self.text_encoder.apply(
             self.text_params, jnp.asarray(self.tokenizer(list(prompts))))
         uncond = self.text_encoder.apply(
             self.text_params,
-            jnp.asarray(self.tokenizer([""] * len(prompts))))
+            jnp.asarray(self.tokenizer(list(negative_prompts))))
         return jnp.concatenate([uncond, cond], axis=0)
 
     def _cfg_eps_depth(self, latents_noisy, depth64, t, text_embeddings,

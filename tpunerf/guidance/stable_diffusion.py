@@ -141,15 +141,37 @@ class StableDiffusionGuidance:
     def encode_text_ids(self, input_ids: jnp.ndarray) -> jnp.ndarray:
         return self.text_encoder.apply(self.text_params, input_ids)
 
-    def get_text_embeds(self, prompts: Sequence[str]) -> jnp.ndarray:
-        """[uncond; cond] (2B, L, D) CFG pair (reference sd.py:161-189)."""
+    def get_text_embeds(self, prompts: Sequence[str],
+                        negative_prompts: Optional[Sequence[str]] = None
+                        ) -> jnp.ndarray:
+        """[uncond; cond] (2B, L, D) CFG pair (reference sd.py:161-189).
+        `negative_prompts` replaces the empty-string uncond branch
+        (`guide.append_neg_text` capability)."""
         if isinstance(prompts, str):
             prompts = [prompts]
+        if negative_prompts is None:
+            negative_prompts = [""] * len(prompts)
+        elif isinstance(negative_prompts, str):
+            negative_prompts = [negative_prompts] * len(prompts)
         cond_ids = jnp.asarray(self.tokenizer(list(prompts)))
-        uncond_ids = jnp.asarray(self.tokenizer([""] * len(prompts)))
+        uncond_ids = jnp.asarray(self.tokenizer(list(negative_prompts)))
         cond = self.encode_text_ids(cond_ids)
         uncond = self.encode_text_ids(uncond_ids)
         return jnp.concatenate([uncond, cond], axis=0)
+
+    def embeds_to_img(self, key: jax.Array, text_embeddings: jnp.ndarray,
+                      num_inference_steps: int = 50,
+                      guidance_scale: float = 7.5,
+                      latents: Optional[jnp.ndarray] = None,
+                      start: int = 0) -> jnp.ndarray:
+        """Text embeddings → decoded [0,1] images (reference `embeds_to_img`,
+        sd.py:223-246). Differentiable end-to-end (the `out_tensor=True`
+        'decode_latents_grad' variant is the default here — everything is a
+        pure function)."""
+        lat = self.produce_latents(key, text_embeddings, num_inference_steps,
+                                   guidance_scale, latents=latents,
+                                   start=start)
+        return self.decode_latents(lat)
 
     def load_concept(self, token: str, embedding: np.ndarray) -> None:
         """Textual inversion (reference `load_concept`, sd.py:130-159): add

@@ -55,6 +55,7 @@ class GuideConfig:
     sampled_texture: Optional[Path] = None  # init texture (paint-mesh)
     use_sd: bool = True                     # StableDiffusion vs PaintByExample
     append_neg_text: bool = False
+    negative_text: str = ""                 # CFG negative prompt
 
 
 @dataclasses.dataclass

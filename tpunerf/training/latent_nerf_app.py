@@ -54,8 +54,9 @@ class LatentNeRFApp:
             shape_scale=cfg.guide.shape_scale, dy=cfg.guide.dy,
             proximal_surface=cfg.guide.proximal_surface)
         scene.latent_size = guidance.latent_size
+        neg = cfg.guide.negative_text if cfg.guide.append_neg_text else ""
         text_z = directional_text_embeddings(guidance, cfg.guide.text,
-                                             cfg.guide.append_direction)
+                                             cfg.guide.append_direction, neg)
         return cls(cfg=cfg, guidance=guidance, scene=scene, text_z=text_z)
 
     # ------------------------------------------------------------------ #

@@ -28,15 +28,17 @@ from tpunerf.training.config import TrainConfig
 
 
 def directional_text_embeddings(guidance: StableDiffusionGuidance,
-                                text: str, append_direction: bool
-                                ) -> jnp.ndarray:
+                                text: str, append_direction: bool,
+                                negative_text: str = "") -> jnp.ndarray:
     """(D, 2, L, E) per-direction CFG embeddings (reference
-    calc_text_embeddings, latent_paint/training/trainer.py:82-91)."""
+    calc_text_embeddings, latent_paint/training/trainer.py:82-91).
+    `negative_text` fills the uncond branch (guide.append_neg_text)."""
+    neg = negative_text or None
     if not append_direction:
-        emb = guidance.get_text_embeds([text])          # (2, L, E)
+        emb = guidance.get_text_embeds([text], neg)     # (2, L, E)
         return emb[None]                                 # (1, 2, L, E)
     prompts = [f"{text}, {sfx}" for sfx in VIEW_DIRECTION_SUFFIXES]
-    embs = guidance.get_text_embeds(prompts)             # (2·6, L, E)
+    embs = guidance.get_text_embeds(prompts, neg)        # (2·6, L, E)
     n = len(prompts)
     return jnp.stack([jnp.stack([embs[i], embs[n + i]]) for i in range(n)])
 
@@ -80,8 +82,9 @@ class LatentPaintApp:
             interpolation_mode=cfg.guide.texture_interpolation_mode,
             cache_dir=cfg.log.exp_dir)
         scene.latent_size = guidance.latent_size
+        neg = cfg.guide.negative_text if cfg.guide.append_neg_text else ""
         text_z = directional_text_embeddings(guidance, cfg.guide.text,
-                                             cfg.guide.append_direction)
+                                             cfg.guide.append_direction, neg)
         return cls(cfg=cfg, guidance=guidance, scene=scene, text_z=text_z)
 
     # ------------------------------------------------------------------ #

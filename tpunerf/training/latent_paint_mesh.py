@@ -108,11 +108,12 @@ class LatentPaintMeshApp:
 
         # body + head prompt banks (reference trainer :212-237)
         if text_backend is not None:
+            neg = cfg.guide.negative_text if cfg.guide.append_neg_text else ""
             text_z = directional_text_embeddings(
-                text_backend, cfg.guide.text, cfg.guide.append_direction)
+                text_backend, cfg.guide.text, cfg.guide.append_direction, neg)
             head_prompt = f"a close up face of {cfg.guide.text}"
             text_z_head = directional_text_embeddings(
-                text_backend, head_prompt, cfg.guide.append_direction)
+                text_backend, head_prompt, cfg.guide.append_direction, neg)
         else:
             text_z = text_z_head = jnp.zeros((1, 2, 1, 1))
 
