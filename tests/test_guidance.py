@@ -177,3 +177,21 @@ def test_embeds_to_img(sd):
     img = sd.embeds_to_img(jax.random.key(0), emb, num_inference_steps=2)
     assert img.shape == (1, 64, 64, 3)
     assert float(img.min()) >= 0.0 and float(img.max()) <= 1.0
+
+
+def test_load_concept_dir(tmp_path):
+    # fresh instance — load_concept mutates tokenizer/params
+    sd = StableDiffusionGuidance.create(jax.random.key(3), tiny=True)
+    import torch
+    emb_dim = sd.text_encoder.config.hidden_size
+    torch.save({"<toy>": torch.randn(emb_dim)},
+               tmp_path / "learned_embeds.bin")
+    (tmp_path / "token_identifier.txt").write_text("<toy>")
+    n_before = sd.text_params["params"]["token_embedding"]["embedding"].shape[0]
+    token = sd.load_concept_dir(tmp_path)
+    assert token == "<toy>"
+    emb = sd.text_params["params"]["token_embedding"]["embedding"]
+    assert emb.shape[0] == n_before + 1
+    # the token resolves through the tokenizer and the encoder runs
+    out = sd.get_text_embeds(["a <toy> photo"])
+    assert np.isfinite(np.asarray(out)).all()

@@ -175,12 +175,16 @@ class StableDiffusionGuidance:
 
     def load_concept(self, token: str, embedding: np.ndarray) -> None:
         """Textual inversion (reference `load_concept`, sd.py:130-159): add
-        `token` to the tokenizer and append its embedding row."""
+        `token` to the tokenizer, resize the token-embedding table
+        (`resize_token_embeddings` equivalent) and install the learned row."""
         self.tokenizer.add_token(token)
         emb = self.text_params["params"]["token_embedding"]["embedding"]
         emb = jnp.concatenate([emb, jnp.asarray(embedding)[None]], axis=0)
         self.text_params = jax.tree_util.tree_map(lambda x: x, self.text_params)
         self.text_params["params"]["token_embedding"]["embedding"] = emb
+        new_cfg = dataclasses.replace(self.text_encoder.config,
+                                      vocab_size=emb.shape[0])
+        self.text_encoder = CLIPTextModel(new_cfg)
 
     def load_concept_dir(self, concept_dir: Path) -> str:
         """Load an sd-concepts-library checkpoint directory
