@@ -52,3 +52,16 @@ def test_hash_encode_auto_dispatch(cfg):
     out = hg.hash_encode_auto(x, table, cfg)
     ref = hash_encode(x, table, cfg)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+def test_pallas_bwd_kernel_matches_autodiff_interpret(cfg):
+    from jax.experimental.pallas import tpu as pltpu
+    table = init_hash_table(jax.random.key(0), cfg) * 100
+    x = jax.random.uniform(jax.random.key(1), (777, 3))
+    g = jax.random.normal(jax.random.key(2), (777, cfg.out_dim))
+    _, vjp = jax.vjp(lambda t: hash_encode(x, t, cfg), table)
+    (dt_ref,) = vjp(g)
+    with pltpu.force_tpu_interpret_mode():
+        dt_fast = hg._hash_bwd_pallas(x, g, cfg)
+    np.testing.assert_allclose(np.asarray(dt_fast), np.asarray(dt_ref),
+                               atol=2e-2 * float(jnp.abs(dt_ref).max()))

@@ -53,6 +53,13 @@ def lookup(grid: jnp.ndarray, x: jnp.ndarray,
 
 def occupied(grid: jnp.ndarray, x: jnp.ndarray,
              cfg: OccupancyGridConfig) -> jnp.ndarray:
+    from tpunerf.kernels import occgrid as occ_kernel
+    if occ_kernel.supports_pallas(cfg.resolution):
+        # bit-pack the thresholded field (cheap, fuses) and do the 0.5M
+        # random lookups in VMEM — XLA's per-element gather costs ~9 ns
+        packed = occ_kernel.pack_bits(grid > cfg.density_threshold)
+        return occ_kernel.occupancy_lookup_packed(x, packed, cfg.resolution,
+                                                  cfg.bound)
     return lookup(grid, x, cfg) > cfg.density_threshold
 
 
@@ -77,14 +84,20 @@ def compact_samples(occ_mask: jnp.ndarray, k: int
     """Fixed-shape stream compaction.
 
     occ_mask (..., S) bool → (gather_idx (..., K) int32, valid (..., K) bool):
-    indices of the first K occupied samples per ray, in depth order (stable
-    partition via argsort of the negated mask).
+    indices of the first K occupied samples per ray, in depth order. Sort-free:
+    the exclusive prefix count gives each occupied sample its target slot, and
+    slot k recovers its (unique) source index by a fused one-hot contraction —
+    ~4× cheaper than the argsort formulation on TPU (no XLA sort, everything
+    fuses into one reduce). Invalid slots gather index 0 and are masked.
     """
     S = occ_mask.shape[-1]
-    order = jnp.argsort(~occ_mask, axis=-1, stable=True)     # occupied first
-    gather_idx = order[..., :k]
-    n_occ = jnp.sum(occ_mask, axis=-1, keepdims=True)
-    rank = jax.lax.broadcasted_iota(jnp.int32, gather_idx.shape,
-                                    gather_idx.ndim - 1)
-    valid = rank < n_occ
-    return gather_idx.astype(jnp.int32), valid
+    occ_i = occ_mask.astype(jnp.int32)
+    rank = jnp.cumsum(occ_i, axis=-1) - occ_i                # exclusive count
+    s_iota = jnp.arange(S, dtype=jnp.int32)
+    k_iota = jnp.arange(k, dtype=jnp.int32)
+    # slot k ← the single occupied sample whose rank == k
+    oh = (rank[..., None] == k_iota) & occ_mask[..., None]   # (..., S, K)
+    gather_idx = jnp.sum(s_iota[:, None] * oh, axis=-2, dtype=jnp.int32)
+    n_occ = jnp.sum(occ_i, axis=-1, keepdims=True)
+    valid = k_iota < n_occ
+    return gather_idx, valid

@@ -6,10 +6,12 @@ The TPU-native equivalent of torch-ngp's CUDA `raymarching` extension
 * rays from the same spherical-camera/NDC conventions as the rasterizer
   (core/camera.py), so mesh and volume apps share pose semantics;
 * stratified fixed-S sampling inside the ray/AABB span — static shapes;
-* occupancy-grid lookup + **fixed-shape compaction** (fields/occupancy.py):
-  the field MLP runs on K ≤ S depth-ordered occupied samples per ray;
-* exclusive-cumsum transmittance compositing (jnp reference; the fused
-  Pallas kernel lives in kernels/raymarch.py).
+* occupancy-grid lookup (Pallas bit-packed VMEM kernel, kernels/occgrid.py)
+  + **fixed-shape compaction** (fields/occupancy.py): the field MLP runs on
+  K ≤ S depth-ordered occupied samples per ray;
+* exclusive-cumsum transmittance compositing (pure XLA — it fuses into one
+  pass; the Pallas work lives where XLA can't fuse: hash encode
+  (kernels/hashgrid.py) and the occupancy gather).
 
 Ray-local compositing means the `rays` mesh axis shards with zero cross-chip
 traffic (SURVEY.md §5.7).
