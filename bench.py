@@ -5,6 +5,15 @@ latent render of the full-size latent-NeRF field (16-level 2^19 hash grid,
 128 stratified samples → 64 compacted per ray, occupancy-pruned, 4-channel
 latent head). Runs on whatever platform JAX selects (TPU under the driver).
 
+Timing method: the remote-tunneled TPU backend does not reliably block in
+`jax.block_until_ready` (measured: 20 dispatched UNet forwards "complete" in
+10 ms), so every measured region is a `lax.scan` whose carry chains one
+iteration into the next — the device must execute serially — and the clock
+stops on a host fetch of the final carry. Params are passed as jit arguments
+(closing over them captures multi-GB constants and stalls lowering), and the
+mock UNet weights are random, not zeros (all-zero weights measurably hit
+fast paths).
+
 vs_baseline: ratio against the best previous round (BENCH_r*.json in repo
 root); 1.0 when no prior record exists (the reference publishes no numbers —
 BASELINE.md §1).
@@ -17,6 +26,31 @@ import time
 
 import jax
 import jax.numpy as jnp
+
+
+def _timed_scan(step_fn, params, key, iters):
+    """Run `iters` serially-dependent iterations of step_fn inside one jit;
+    returns seconds/iter measured to a host fetch of the chained carry."""
+
+    @jax.jit
+    def run(params, key):
+        def body(carry, _):
+            key, acc = carry
+            key, sub = jax.random.split(key)
+            loss = step_fn(params, sub, acc)
+            return (key, loss), None
+
+        (key, acc), _ = jax.lax.scan(
+            body, (key, jnp.float32(0.0)), None, length=iters)
+        return acc
+
+    acc = float(run(params, key))            # compile + warmup (host fetch)
+    assert acc == acc, "NaN in benchmark loss"
+    t0 = time.perf_counter()
+    acc = float(run(params, jax.random.fold_in(key, 1)))
+    dt = time.perf_counter() - t0
+    assert acc == acc, "NaN in benchmark loss"
+    return dt / iters
 
 
 def main() -> None:
@@ -37,27 +71,20 @@ def main() -> None:
     for i in range(4):
         params = upd(params, jax.random.fold_in(key, i))
 
-    @jax.jit
-    def fwd_bwd(params, key):
+    def render_step(p, sub, acc):
         def loss_fn(p):
-            out = scene.render_train(p, views, key, jnp.asarray(0))
+            out = scene.render_train(p, views, sub, jnp.asarray(0))
             return jnp.sum(out["image"] ** 2) + out["sparsity_loss"]
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        return loss, grads
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        # consume the grads so backward can't be dead-code-eliminated;
+        # chain acc so iterations serialize
+        gsum = sum(jnp.sum(jnp.abs(g)) for g in jax.tree_util.tree_leaves(
+            grads))
+        return loss + 1e-20 * gsum + 1e-20 * acc
 
-    # compile + warmup
-    loss, grads = fwd_bwd(params, key)
-    jax.block_until_ready((loss, grads))
-
-    iters = 20
-    t0 = time.perf_counter()
-    for i in range(iters):
-        loss, grads = fwd_bwd(params, jax.random.fold_in(key, i))
-    jax.block_until_ready((loss, grads))
-    dt = time.perf_counter() - t0
-
-    rays_per_s = B * H * W * iters / dt
+    sec = _timed_scan(render_step, params, key, iters=30)
+    rays_per_s = B * H * W / sec
 
     # ---- secondary metric: full SDS train-step iters/s ----------------
     # render fwd+bwd + full-size (859M-param) SD-v1 UNet CFG pass with the
@@ -70,35 +97,33 @@ def main() -> None:
         ucfg = UNetConfig.sd_v1()
         unet = UNet2DCondition(ucfg)
         ctx = jnp.zeros((2 * B, 77, ucfg.cross_attention_dim))
-        shapes_ = jax.eval_shape(
-            lambda: unet.init(jax.random.key(0),
-                              jnp.zeros((2 * B, H, W, 4)),
-                              jnp.zeros((2 * B,), jnp.int32), ctx))
-        uparams = jax.tree_util.tree_map(
-            lambda s: jnp.zeros(s.shape, s.dtype), shapes_)
+        # real init (not zeros / ad-hoc random): all-zero or degenerate
+        # weights produce zero activations, which hit measurably unreal
+        # fast paths on this backend
+        uparams = jax.jit(unet.init)(jax.random.key(0),
+                                     jnp.zeros((2 * B, H, W, 4)),
+                                     jnp.zeros((2 * B,), jnp.int32), ctx)
         from tpunerf.guidance.schedulers import NoiseSchedule
         nsched = NoiseSchedule.scaled_linear()
 
-        @jax.jit
-        def sds_step(params, key):
-            def loss_fn(p):
-                out = scene.render_train(p, views, key, jnp.asarray(0))
+        def sds_step(p, sub, acc):
+            prm, up = p
+
+            def loss_fn(prm):
+                out = scene.render_train(prm, views, sub, jnp.asarray(0))
                 lat = out["image"]
                 return sds_lib.sds_loss(
-                    lambda x, t, c: unet.apply(uparams, x, t, c),
-                    nsched, key, lat, ctx, guidance_scale=100.0) \
+                    lambda x, t, c: unet.apply(up, x, t, c),
+                    nsched, sub, lat, ctx, guidance_scale=100.0) \
                     + 5e-4 * out["sparsity_loss"]
 
-            return jax.value_and_grad(loss_fn)(params)
+            loss, grads = jax.value_and_grad(loss_fn)(prm)
+            gsum = sum(jnp.sum(jnp.abs(g))
+                       for g in jax.tree_util.tree_leaves(grads))
+            return loss + 1e-20 * gsum + 1e-20 * acc
 
-        loss, grads = sds_step(params, key)
-        jax.block_until_ready((loss, grads))
-        n_sds = 10
-        t0 = time.perf_counter()
-        for i in range(n_sds):
-            loss, grads = sds_step(params, jax.random.fold_in(key, i))
-        jax.block_until_ready((loss, grads))
-        sds_iters_per_s = n_sds / (time.perf_counter() - t0)
+        sec_sds = _timed_scan(sds_step, (params, uparams), key, iters=10)
+        sds_iters_per_s = 1.0 / sec_sds
     except Exception:
         pass
 

@@ -78,11 +78,23 @@ class VAEAttention(nn.Module):
         q = nn.Dense(C, dtype=self.dtype, name="to_q")(h)
         k = nn.Dense(C, dtype=self.dtype, name="to_k")(h)
         v = nn.Dense(C, dtype=self.dtype, name="to_v")(h)
-        attn = jax.nn.softmax(
-            jnp.einsum("bqc,bkc->bqk", q, k,
-                       preferred_element_type=jnp.float32) * (C ** -0.5),
-            axis=-1)
-        h = jnp.einsum("bqk,bkc->bqc", attn.astype(v.dtype), v)
+        N = H * W
+        if (N >= 2048 and N % 1024 == 0
+                and jax.default_backend() == "tpu"):
+            # single-head long self-attention: same HBM argument as the
+            # UNet's 64² layers (unet.py:_flash_sdpa) — don't materialize
+            # the (B, N, N) matrix
+            from tpunerf.guidance.unet import _flash_sdpa
+            h = _flash_sdpa(q[:, None].astype(jnp.float32),
+                            k[:, None].astype(jnp.float32),
+                            v[:, None].astype(jnp.float32), C)[:, 0]
+            h = h.astype(v.dtype)
+        else:
+            attn = jax.nn.softmax(
+                jnp.einsum("bqc,bkc->bqk", q, k,
+                           preferred_element_type=jnp.float32) * (C ** -0.5),
+                axis=-1)
+            h = jnp.einsum("bqk,bkc->bqc", attn.astype(v.dtype), v)
         h = nn.Dense(C, dtype=self.dtype, name="to_out")(h)
         return x + h.reshape(B, H, W, C)
 
