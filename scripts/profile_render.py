@@ -3,6 +3,11 @@
 Times each stage of the hot path separately on the current backend so kernel
 work targets the real bottleneck (SURVEY.md §5.1 tooling). Run:
     python -m scripts.profile_render
+
+Timing method (same as bench.py): the tunneled TPU backend does not reliably
+block in `jax.block_until_ready`, so each stage runs as a `lax.scan` whose
+carry chains iterations (forcing serial device execution) and the clock stops
+on a host fetch of the final carry.
 """
 from __future__ import annotations
 
@@ -12,16 +17,34 @@ import jax
 import jax.numpy as jnp
 
 
-def _timeit(name, fn, *args, iters=20):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters * 1e3
-    print(f"{name:<44s} {dt:8.2f} ms")
-    return dt
+def _scan_time(name, step, iters=30, reps=2):
+    """step(key, acc) -> scalar that depends on the stage's full output."""
+
+    @jax.jit
+    def run(key):
+        def body(carry, _):
+            key, acc = carry
+            key, sub = jax.random.split(key)
+            return (key, step(sub, acc)), None
+
+        (_, acc), _ = jax.lax.scan(
+            body, (key, jnp.float32(0.0)), None, length=iters)
+        return acc
+
+    out = float(run(jax.random.key(0)))            # compile + warm
+    assert out == out, f"NaN in stage {name}"
+    best = float("inf")
+    for r in range(reps):
+        t0 = time.perf_counter()
+        _ = float(run(jax.random.key(r + 1)))
+        best = min(best, (time.perf_counter() - t0) / iters)
+    print(f"{name:<44s} {best*1e3:8.2f} ms")
+    return best
+
+
+def _consume(tree):
+    return sum(jnp.sum(jnp.abs(x).astype(jnp.float32))
+               for x in jax.tree_util.tree_leaves(tree)) * 1e-20
 
 
 def main():
@@ -47,104 +70,122 @@ def main():
           f"S={scene.march.num_samples} K={scene.march.num_compacted}  "
           f"field pts={N}")
 
-    # ---- full fwd / fwd+bwd ------------------------------------------
-    @jax.jit
-    def full_fwd(params, key):
-        out = scene.render_train(params, views, key, jnp.asarray(0))
-        return out["image"], out["sparsity_loss"]
+    def full_fwd(sub, acc):
+        out = scene.render_train(params, views, sub, jnp.asarray(0))
+        return _consume(out["image"]) + out["sparsity_loss"] * 0 + acc * 1e-20
 
-    @jax.jit
-    def full_fwd_bwd(params, key):
+    def full_fwd_bwd(sub, acc):
         def loss_fn(p):
-            out = scene.render_train(p, views, key, jnp.asarray(0))
+            out = scene.render_train(p, views, sub, jnp.asarray(0))
             return jnp.sum(out["image"] ** 2) + out["sparsity_loss"]
-        return jax.value_and_grad(loss_fn)(params)
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        return loss * 1e-20 + _consume(grads) + acc * 1e-20
 
-    _timeit("full render fwd", full_fwd, params, key)
-    _timeit("full render fwd+bwd", full_fwd_bwd, params, key)
+    _scan_time("full render fwd", full_fwd)
+    _scan_time("full render fwd+bwd", full_fwd_bwd)
 
-    # ---- ray generation ----------------------------------------------
-    gen = jax.jit(lambda: vr.generate_rays(
+    def gen_step(sub, acc):
+        th = views.theta + acc * 1e-20 + jax.random.uniform(sub, ()) * 1e-20
+        rays = vr.generate_rays(th, views.phi, views.radius, H, W,
+                                fovy=scene.fovy, bound=scene.march.bound)
+        return _consume((rays.origins, rays.dirs, rays.near, rays.far))
+
+    _scan_time("generate_rays", gen_step)
+    rays = jax.jit(lambda: vr.generate_rays(
         views.theta, views.phi, views.radius, H, W, fovy=scene.fovy,
-        bound=scene.march.bound))
-    _timeit("generate_rays", gen)
-    rays = gen()
+        bound=scene.march.bound))()
 
-    # ---- sampling + occupancy + compaction (no field) ----------------
     S, K = scene.march.num_samples, scene.march.num_compacted
 
-    @jax.jit
-    def sample_compact(params, key):
+    def make_xyz(sub):
         u = (jnp.arange(S, dtype=jnp.float32) + 0.5) / S
         u = jnp.broadcast_to(u, (B, H * W, S))
-        u = u + (jax.random.uniform(key, u.shape) - 0.5) / S
+        u = u + (jax.random.uniform(sub, u.shape) - 0.5) / S
         t = rays.near[..., None] + (rays.far - rays.near)[..., None] * u
         xyz = rays.origins[..., None, :] + rays.dirs[..., None, :] * t[..., None]
-        xyz = jnp.clip(xyz, -1.0, 1.0)
+        return t, jnp.clip(xyz, -1.0, 1.0)
+
+    def sample_compact(sub, acc):
+        t, xyz = make_xyz(sub)
+        xyz = xyz + acc * 1e-20
         occ = occ_lib.occupied(params["occ_grid"], xyz, scene.occ_cfg)
         gi, valid = occ_lib.compact_samples(occ, K)
         t_k = jnp.take_along_axis(t, gi, axis=-1)
         xyz_k = jnp.take_along_axis(xyz, gi[..., None], axis=-2)
-        return t_k, xyz_k, valid
+        return _consume((t_k, xyz_k)) + _consume(valid)
 
-    _timeit("sample+occ-lookup+compact+gather", sample_compact, params, key)
-    t_k, xyz_k, valid = jax.jit(sample_compact)(params, key)
-    flat_x = xyz_k.reshape(-1, 3)
-    flat_d = jnp.broadcast_to(rays.dirs[..., None, :],
-                              xyz_k.shape).reshape(-1, 3)
+    _scan_time("sample+occ-lookup+compact+gather", sample_compact)
 
-    # ---- compaction pieces -------------------------------------------
-    @jax.jit
-    def occ_only(params):
-        u = (jnp.arange(S, dtype=jnp.float32) + 0.5) / S
-        t = rays.near[..., None] + (rays.far - rays.near)[..., None] * u
-        xyz = rays.origins[..., None, :] + rays.dirs[..., None, :] * t[..., None]
-        return occ_lib.occupied(params["occ_grid"], xyz, scene.occ_cfg)
+    def occ_only(sub, acc):
+        _, xyz = make_xyz(sub)
+        occ = occ_lib.occupied(params["occ_grid"] + acc * 1e-20, xyz,
+                               scene.occ_cfg)
+        return _consume(occ)
 
-    occ = occ_only(params)
-    _timeit("  occ lookup alone", occ_only, params)
-    _timeit("  compact_samples (argsort) alone",
-            jax.jit(lambda o: occ_lib.compact_samples(o, K)), occ)
+    _scan_time("  sample+occ lookup", occ_only)
 
-    # ---- field pieces -------------------------------------------------
+    _, xyz0 = jax.jit(make_xyz)(key)
+    occ0 = jax.jit(lambda: occ_lib.occupied(params["occ_grid"], xyz0,
+                                            scene.occ_cfg))()
+
+    def compact_only(sub, acc):
+        o = jnp.logical_or(occ0, jax.random.uniform(sub, occ0.shape) > 2.0)
+        gi, valid = occ_lib.compact_samples(o, K)
+        return _consume(gi) + _consume(valid) + acc * 1e-20
+
+    _scan_time("  compact_samples alone", compact_only)
+
     from tpunerf.kernels.hashgrid import hash_encode_auto, supports_pallas
     gcfg = scene.field.config.grid
     print(f"pallas hash path: {supports_pallas(gcfg)}  "
           f"(L={gcfg.n_levels} T={gcfg.table_size} F={gcfg.n_features_per_level})")
     table = params["field"]["params"]["hash_table"]
+    flat_x = xyz0[..., :K, :].reshape(-1, 3)
+    flat_d = jnp.broadcast_to(rays.dirs[..., None, :],
+                              xyz0[..., :K, :].shape).reshape(-1, 3)
     x01 = jnp.clip((flat_x + 1.0) / 2.0, 0.0, 1.0)
 
-    _timeit("hash encode fwd", jax.jit(
-        lambda x, t: hash_encode_auto(x, t, gcfg)), x01, table)
+    def hash_fwd(sub, acc):
+        return _consume(hash_encode_auto(x01 + acc * 1e-20, table, gcfg))
 
-    @jax.jit
-    def hash_fwd_bwd(x, t):
-        return jax.grad(lambda tt: jnp.sum(
-            hash_encode_auto(x, tt, gcfg) ** 2))(t)
-    _timeit("hash encode fwd+bwd", hash_fwd_bwd, x01, table)
+    _scan_time("hash encode fwd", hash_fwd)
 
-    @jax.jit
-    def field_fwd(p, x, d):
-        return scene.field.apply(p, x, d)
-    _timeit("field apply fwd (hash+MLPs)", field_fwd, params["field"],
-            flat_x, flat_d)
+    def hash_fwd_bwd(sub, acc):
+        g = jax.grad(lambda tt: jnp.sum(
+            hash_encode_auto(x01 + acc * 1e-20, tt, gcfg) ** 2))(table)
+        return _consume(g)
 
-    @jax.jit
-    def field_fwd_bwd(p, x, d):
+    _scan_time("hash encode fwd+bwd", hash_fwd_bwd)
+
+    def field_fwd(sub, acc):
+        s, c = scene.field.apply(params["field"], flat_x + acc * 1e-20,
+                                 flat_d)
+        return _consume((s, c))
+
+    _scan_time("field apply fwd (hash+MLPs)", field_fwd)
+
+    def field_fwd_bwd(sub, acc):
         def loss(pp):
-            s, c = scene.field.apply(pp, x, d)
+            s, c = scene.field.apply(pp, flat_x + acc * 1e-20, flat_d)
             return jnp.sum(s) + jnp.sum(c ** 2)
-        return jax.grad(loss)(p)
-    _timeit("field apply fwd+bwd", field_fwd_bwd, params["field"],
-            flat_x, flat_d)
+        return _consume(jax.grad(loss)(params["field"]))
 
-    # ---- composite -----------------------------------------------------
-    sigma, color = field_fwd(params["field"], flat_x, flat_d)
+    _scan_time("field apply fwd+bwd", field_fwd_bwd)
+
+    sigma, color = jax.jit(
+        lambda: scene.field.apply(params["field"], flat_x, flat_d))()
     sigma = sigma.reshape(B, H * W, K)
     color = color.reshape(B, H * W, K, 4)
+    t_k = jnp.broadcast_to(
+        jnp.linspace(0.1, 2.0, K, dtype=jnp.float32), (B, H * W, K))
     dt_full = ((rays.far - rays.near) / S)[..., None]
-    _timeit("composite", jax.jit(vr.composite), sigma, color, dt_full,
-            valid.astype(sigma.dtype), t_k)
+    valid = jnp.ones((B, H * W, K), sigma.dtype)
+
+    def comp_step(sub, acc):
+        out = vr.composite(sigma + acc * 1e-20, color, dt_full, valid, t_k)
+        return _consume(out)
+
+    _scan_time("composite", comp_step)
 
 
 if __name__ == "__main__":

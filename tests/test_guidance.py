@@ -195,3 +195,23 @@ def test_load_concept_dir(tmp_path):
     # the token resolves through the tokenizer and the encoder runs
     out = sd.get_text_embeds(["a <toy> photo"])
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_flash_sdpa_matches_naive_interpret():
+    """The fused flash path (unet._flash_sdpa, TPU-only at runtime) must
+    match the naive softmax attention it replaces (unet.py Attention)."""
+    from jax.experimental.pallas import tpu as pltpu
+    from tpunerf.guidance import unet as unet_lib
+
+    B, H, N, D = 1, 2, 2048, 40
+    q = jax.random.normal(jax.random.key(0), (B, H, N, D))
+    k = jax.random.normal(jax.random.key(1), (B, H, N, D))
+    v = jax.random.normal(jax.random.key(2), (B, H, N, D))
+    attn = jax.nn.softmax(
+        jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                   preferred_element_type=jnp.float32) * (D ** -0.5), -1)
+    ref = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+    with pltpu.force_tpu_interpret_mode():
+        out = unet_lib._flash_sdpa(q, k, v, D)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-3, rtol=1e-3)
