@@ -109,9 +109,7 @@ def main():
         t, xyz = make_xyz(sub)
         xyz = xyz + acc * 1e-20
         occ = occ_lib.occupied(params["occ_grid"], xyz, scene.occ_cfg)
-        gi, valid = occ_lib.compact_samples(occ, K)
-        t_k = jnp.take_along_axis(t, gi, axis=-1)
-        xyz_k = jnp.take_along_axis(xyz, gi[..., None], axis=-2)
+        valid, t_k, xyz_k = occ_lib.compact_gather(occ, K, t, xyz)
         return _consume((t_k, xyz_k)) + _consume(valid)
 
     _scan_time("sample+occ-lookup+compact+gather", sample_compact)

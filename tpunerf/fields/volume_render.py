@@ -145,9 +145,7 @@ def render_rays(sigma_color_fn: Callable, rays: Rays, key: jax.Array,
         occ = occ_lib.occupied(occ_grid, xyz, occ_cfg)                 # (B,P,S)
     else:
         occ = jnp.ones((B, P, S), bool)
-    gather_idx, valid = occ_lib.compact_samples(occ, K)                # (B,P,K)
-    t_k = jnp.take_along_axis(t, gather_idx, axis=-1)
-    xyz_k = jnp.take_along_axis(xyz, gather_idx[..., None], axis=-2)
+    valid, t_k, xyz_k = occ_lib.compact_gather(occ, K, t, xyz)         # (B,P,K)
 
     flat_x = xyz_k.reshape(-1, 3)
     flat_d = jnp.broadcast_to(rays.dirs[..., None, :],
