@@ -13,3 +13,12 @@ transforms, PRNG-key threading, `jax.sharding.Mesh` distribution.
 """
 
 __version__ = "0.1.0"
+
+# Persistent XLA compilation cache (repo-local .jax_cache): the SD-v1 UNet
+# alone is a multi-minute compile on the tunneled TPU backend; caching makes
+# repeated CLI/bench/test invocations start in seconds. Opt out with
+# TPUNERF_CACHE_DIR=0.
+from tpunerf.utils.misc import enable_persistent_compilation_cache as _epcc
+
+_epcc()
+del _epcc

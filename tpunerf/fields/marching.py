@@ -34,20 +34,29 @@ _TET_TRIS = {
     0xB: [[(2, 0), (2, 3), (2, 1)]],
     0x8: [[(3, 0), (3, 2), (3, 1)]],
     0x7: [[(3, 0), (3, 1), (3, 2)]],
-    0x3: [[(0, 2), (1, 2), (1, 3)], [(0, 2), (1, 3), (0, 3)]],
-    0xC: [[(0, 2), (1, 3), (1, 2)], [(0, 2), (0, 3), (1, 3)]],
-    0x5: [[(0, 1), (2, 3), (2, 1)], [(0, 1), (0, 3), (2, 3)]],
-    0xA: [[(0, 1), (2, 1), (2, 3)], [(0, 1), (2, 3), (0, 3)]],
-    0x6: [[(1, 0), (2, 0), (2, 3)], [(1, 0), (2, 3), (1, 3)]],
-    0x9: [[(1, 0), (2, 3), (2, 0)], [(1, 0), (1, 3), (2, 3)]],
+    0x3: [[(0, 2), (1, 3), (1, 2)], [(0, 2), (0, 3), (1, 3)]],
+    0xC: [[(0, 2), (1, 2), (1, 3)], [(0, 2), (1, 3), (0, 3)]],
+    0x5: [[(0, 1), (2, 1), (2, 3)], [(0, 1), (2, 3), (0, 3)]],
+    0xA: [[(0, 1), (2, 3), (2, 1)], [(0, 1), (0, 3), (2, 3)]],
+    0x6: [[(1, 0), (2, 3), (2, 0)], [(1, 0), (1, 3), (2, 3)]],
+    0x9: [[(1, 0), (2, 0), (2, 3)], [(1, 0), (2, 3), (1, 3)]],
 }
 
 
 def marching_tetrahedra(values: np.ndarray, iso: float,
-                        bound: float = 1.0
+                        bound: float = 1.0, use_native: bool = True
                         ) -> Tuple[np.ndarray, np.ndarray]:
     """values (G, G, G) scalar field → (vertices (V, 3) in
-    [−bound, bound]³, faces (F, 3)). Surface oriented toward lower values."""
+    [−bound, bound]³, faces (F, 3)). Surface oriented toward lower values.
+
+    Dispatches to the native C++/OpenMP extractor (native/marching.cpp —
+    exact edge-identity welding, watertight) when built; this numpy
+    implementation is the reference/fallback path."""
+    if use_native:
+        from tpunerf import native
+        out = native.marching_tets(np.asarray(values, np.float32), iso, bound)
+        if out is not None:
+            return out
     G = values.shape[0]
     spacing = 2.0 * bound / (G - 1)
     origin = -bound

@@ -42,6 +42,17 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int32, ctypes.c_float,
             ctypes.POINTER(ctypes.c_float),
         ]
+        lib.tpunerf_marching_tets.restype = ctypes.c_int
+        lib.tpunerf_marching_tets.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int32,
+            ctypes.c_float, ctypes.c_float,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.tpunerf_free.restype = None
+        lib.tpunerf_free.argtypes = [ctypes.c_void_p]
         _lib = lib
         return lib
     except OSError:
@@ -71,3 +82,35 @@ def sdf_grid(vertices: np.ndarray, faces: np.ndarray, resolution: int,
     if rc != 0:
         return None
     return out.reshape(resolution, resolution, resolution)
+
+
+def marching_tets(values: np.ndarray, iso: float, bound: float):
+    """Iso-surface of a (G, G, G) field → (verts (V, 3), faces (F, 3)), or
+    None if the native library is unavailable. Same tables/orientation as
+    fields/marching.py, but OpenMP-parallel with exact edge-identity
+    vertex welding."""
+    lib = _load()
+    if lib is None:
+        return None
+    v = np.ascontiguousarray(values, np.float32)
+    G = v.shape[0]
+    pv = ctypes.POINTER(ctypes.c_float)()
+    pf = ctypes.POINTER(ctypes.c_int32)()
+    nv = ctypes.c_int64(0)
+    nf = ctypes.c_int64(0)
+    rc = lib.tpunerf_marching_tets(
+        v.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), G,
+        float(iso), float(bound),
+        ctypes.byref(pv), ctypes.byref(nv), ctypes.byref(pf),
+        ctypes.byref(nf))
+    if rc != 0:
+        return None
+    try:
+        verts = np.ctypeslib.as_array(pv, shape=(nv.value, 3)).copy() \
+            if nv.value else np.zeros((0, 3), np.float32)
+        faces = np.ctypeslib.as_array(pf, shape=(nf.value, 3)).copy() \
+            if nf.value else np.zeros((0, 3), np.int32)
+    finally:
+        lib.tpunerf_free(pv)
+        lib.tpunerf_free(pf)
+    return verts.astype(np.float32), faces.astype(np.int32)

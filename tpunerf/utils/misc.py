@@ -29,3 +29,23 @@ def make_path(path: Path) -> Path:
     path = Path(path)
     path.mkdir(exist_ok=True, parents=True)
     return path
+
+
+def enable_persistent_compilation_cache(
+        cache_dir: str | None = None) -> None:
+    """Point XLA's persistent compilation cache at a repo-local directory so
+    repeated CLI/bench invocations skip the multi-minute UNet compiles.
+    No-op if the running jax lacks the knobs. Overridable via
+    TPUNERF_CACHE_DIR; disable with TPUNERF_CACHE_DIR=0."""
+    import jax
+
+    cache_dir = cache_dir or os.environ.get("TPUNERF_CACHE_DIR") or \
+        str(Path(__file__).resolve().parents[2] / ".jax_cache")
+    if cache_dir == "0":
+        return
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:
+        pass
