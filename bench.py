@@ -1,7 +1,8 @@
 """Benchmark harness — prints ONE JSON line for the driver.
 
 Headline metric (BASELINE.json): rays/s/chip, forward+backward, at a 64×64
-latent render of the full-size latent-NeRF field (16-level 2^19 hash grid,
+latent render of the default latent-NeRF field (12-level hash grid, T=2048
+per level — VMEM-resident for the Pallas kernels, fields/encoding.py — with
 128 stratified samples → 64 compacted per ray, occupancy-pruned, 4-channel
 latent head). Runs on whatever platform JAX selects (TPU under the driver).
 

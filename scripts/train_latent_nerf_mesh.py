@@ -23,8 +23,9 @@ from tpunerf.training.latent_paint import LatentPaintApp
 from tpunerf.training.trainer import Trainer
 
 
-def extract_mesh_from_checkpoint(cfg: TrainConfig, resolution: int = 128,
-                                 iso: float = 10.0):
+def extract_mesh_from_checkpoint(cfg: TrainConfig,
+                                 resolution: int | None = None,
+                                 iso: float | None = None):
     """Restore the NeRF and extract its density iso-surface as a Mesh."""
     import jax.numpy as jnp
     from tpunerf.meshrep.mesh import Mesh
@@ -38,6 +39,8 @@ def extract_mesh_from_checkpoint(cfg: TrainConfig, resolution: int = 128,
     if params is None:
         raise FileNotFoundError(
             "no NeRF checkpoint found — pass --optim.ckpt")
+    resolution = cfg.render.mc_resolution if resolution is None else resolution
+    iso = cfg.render.iso_level if iso is None else iso
     verts, faces = nerf_app.scene.extract_mesh(
         jax.tree_util.tree_map(jnp.asarray, params),
         resolution=resolution, iso=iso)

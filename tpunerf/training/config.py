@@ -32,6 +32,9 @@ class RenderConfig:
     # volumetric renderer
     num_samples_per_ray: int = 128
     bound: float = 1.0                      # scene AABB half-extent
+    # NeRF→mesh extraction stage (scripts/train_latent_nerf_mesh.py)
+    mc_resolution: int = 128                # marching-tets grid resolution
+    iso_level: float = 10.0                 # density iso-surface threshold
 
 
 @dataclasses.dataclass

@@ -137,6 +137,10 @@ class Trainer:
                                "{n_fmt}/{total_fmt} {elapsed} "
                                "[{rate_fmt}]")
         rng = np.random.default_rng(cfg.optim.seed + 1)
+        import time as _time
+        # anchor the throughput clock so the FIRST metrics row is real
+        # (it still includes the step compile; steady-state is row 2+)
+        self._last_metric_time = _time.perf_counter()
 
         while self.train_step_idx < cfg.optim.iters:
             self.train_step_idx += 1
@@ -154,10 +158,9 @@ class Trainer:
             pbar.update(1)
 
             if self.train_step_idx % 50 == 0:
-                import time as _time
                 jax.block_until_ready(loss)
                 now = _time.perf_counter()
-                dt = now - getattr(self, "_last_metric_time", now)
+                dt = now - self._last_metric_time
                 self._last_metric_time = now
                 steps = 50 if dt > 0 else 1
                 loss_f, gnorm_f = float(loss), float(gnorm)
