@@ -87,8 +87,8 @@ class CLIPLayer(nn.Module):
     def __call__(self, x, mask):
         cfg = self.config
         x = x + CLIPAttention(cfg, name="self_attn")(
-            nn.LayerNorm(dtype=cfg.dtype, name="layer_norm1")(x), mask)
-        h = nn.LayerNorm(dtype=cfg.dtype, name="layer_norm2")(x)
+            nn.LayerNorm(epsilon=1e-5, dtype=cfg.dtype, name="layer_norm1")(x), mask)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=cfg.dtype, name="layer_norm2")(x)
         h = nn.Dense(cfg.intermediate_size, dtype=cfg.dtype, name="fc1")(h)
         h = quick_gelu(h)
         h = nn.Dense(cfg.hidden_size, dtype=cfg.dtype, name="fc2")(h)
@@ -123,7 +123,7 @@ class CLIPTextModel(nn.Module):
         causal = jnp.tril(jnp.ones((L, L), bool))[None, None]
         for i in range(cfg.num_layers):
             x = CLIPLayer(cfg, name=f"layer_{i}")(x, causal)
-        return nn.LayerNorm(dtype=cfg.dtype,
+        return nn.LayerNorm(epsilon=1e-5, dtype=cfg.dtype,
                             name="final_layer_norm")(x).astype(jnp.float32)
 
 

@@ -104,11 +104,11 @@ class CLIPVisionModel(nn.Module):
                          nn.initializers.normal(0.02),
                          (gh * gw + 1, D))
         x = x + pos[None].astype(cfg.dtype)
-        x = nn.LayerNorm(dtype=cfg.dtype, name="pre_layernorm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=cfg.dtype, name="pre_layernorm")(x)
         for i in range(cfg.num_layers):
-            h = nn.LayerNorm(dtype=cfg.dtype, name=f"layer_{i}_ln1")(x)
+            h = nn.LayerNorm(epsilon=1e-5, dtype=cfg.dtype, name=f"layer_{i}_ln1")(x)
             x = x + _VisionAttention(cfg, name=f"layer_{i}_attn")(h)
-            h = nn.LayerNorm(dtype=cfg.dtype, name=f"layer_{i}_ln2")(x)
+            h = nn.LayerNorm(epsilon=1e-5, dtype=cfg.dtype, name=f"layer_{i}_ln2")(x)
             h = nn.Dense(cfg.intermediate_size, dtype=cfg.dtype,
                          name=f"layer_{i}_fc1")(h)
             h = quick_gelu(h)
@@ -116,7 +116,7 @@ class CLIPVisionModel(nn.Module):
                              name=f"layer_{i}_fc2")(h)
         if return_sequence:
             return x.astype(jnp.float32)
-        pooled = nn.LayerNorm(dtype=cfg.dtype, name="post_layernorm")(x[:, 0])
+        pooled = nn.LayerNorm(epsilon=1e-5, dtype=cfg.dtype, name="post_layernorm")(x[:, 0])
         return pooled.astype(jnp.float32)
 
 

@@ -49,7 +49,7 @@ class PaintByExampleImageEncoder(nn.Module):
         x = pooled[:, None, :]
         # 1-head single-block transformer "mapper"
         D = x.shape[-1]
-        h = nn.LayerNorm(name="mapper_ln1")(x)
+        h = nn.LayerNorm(epsilon=1e-5, name="mapper_ln1")(x)
         q = nn.Dense(D, name="mapper_q")(h)
         k = nn.Dense(D, name="mapper_k")(h)
         v = nn.Dense(D, name="mapper_v")(h)
@@ -57,10 +57,10 @@ class PaintByExampleImageEncoder(nn.Module):
                           axis=-1)
         x = x + nn.Dense(D, name="mapper_out")(
             jnp.einsum("bqk,bkd->bqd", attn, v))
-        h = nn.LayerNorm(name="mapper_ln2")(x)
+        h = nn.LayerNorm(epsilon=1e-5, name="mapper_ln2")(x)
         h = nn.Dense(D * 4, name="mapper_fc1")(h)
         x = x + nn.Dense(D, name="mapper_fc2")(nn.gelu(h))
-        x = nn.LayerNorm(name="final_layer_norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="final_layer_norm")(x)
         return nn.Dense(self.proj_dim, name="proj_out")(x)
 
     def uncond_embedding(self) -> jnp.ndarray:

@@ -196,11 +196,11 @@ class BasicTransformerBlock(nn.Module):
     @nn.compact
     def __call__(self, x, context):
         x = x + Attention(self.num_heads, self.dtype, name="attn1")(
-            nn.LayerNorm(dtype=self.dtype, name="norm1")(x))
+            nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x))
         x = x + Attention(self.num_heads, self.dtype, name="attn2")(
-            nn.LayerNorm(dtype=self.dtype, name="norm2")(x), context)
+            nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x), context)
         x = x + FeedForwardGEGLU(self.dtype, name="ff")(
-            nn.LayerNorm(dtype=self.dtype, name="norm3")(x))
+            nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(x))
         return x
 
 

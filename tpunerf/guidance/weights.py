@@ -216,6 +216,48 @@ def convert_clip_text(sd: Dict[str, np.ndarray], config) -> Dict[str, Any]:
     return {"params": p}
 
 
+def convert_clip_vision(sd: Dict[str, np.ndarray], config) -> Dict[str, Any]:
+    """transformers `CLIPVisionModelWithProjection` state dict → flax
+    `CLIPImageEmbedder` params (the `encode_image` tower the reference uses
+    through OpenAI CLIP — latent_paint_mesh/training/trainer.py:172-180 —
+    and inside Paint-by-Example's exemplar encoder, paint_by_example.py:705).
+
+    Handles both prefixed (`vision_model.`) and bare layouts. Note the HF
+    field is literally spelled `pre_layrnorm` (upstream typo)."""
+    pre = ("vision_model."
+           if any(k.startswith("vision_model.") for k in sd) else "")
+    emb = f"{pre}embeddings."
+    pre_ln_key = (f"{pre}pre_layrnorm"
+                  if f"{pre}pre_layrnorm.weight" in sd
+                  else f"{pre}pre_layernorm")
+    v: Dict[str, Any] = {
+        # conv OIHW → HWIO
+        "patch_embedding": {
+            "kernel": sd[f"{emb}patch_embedding.weight"
+                         ].transpose(2, 3, 1, 0)},
+        "class_embedding": sd[f"{emb}class_embedding"],
+        "position_embedding": sd[f"{emb}position_embedding.weight"],
+        "pre_layernorm": _norm(sd, pre_ln_key),
+        "post_layernorm": _norm(sd, f"{pre}post_layernorm"),
+    }
+    for i in range(config.num_layers):
+        b = f"{pre}encoder.layers.{i}"
+        v[f"layer_{i}_ln1"] = _norm(sd, f"{b}.layer_norm1")
+        v[f"layer_{i}_ln2"] = _norm(sd, f"{b}.layer_norm2")
+        v[f"layer_{i}_attn"] = {
+            "q_proj": _dense(sd, f"{b}.self_attn.q_proj"),
+            "k_proj": _dense(sd, f"{b}.self_attn.k_proj"),
+            "v_proj": _dense(sd, f"{b}.self_attn.v_proj"),
+            "out_proj": _dense(sd, f"{b}.self_attn.out_proj")}
+        v[f"layer_{i}_fc1"] = _dense(sd, f"{b}.mlp.fc1")
+        v[f"layer_{i}_fc2"] = _dense(sd, f"{b}.mlp.fc2")
+    params: Dict[str, Any] = {"vision": v}
+    if "visual_projection.weight" in sd:
+        params["visual_projection"] = {
+            "kernel": sd["visual_projection.weight"].T}
+    return {"params": params}
+
+
 def _check_tree(converted, expected_shapes, name: str) -> Any:
     """Assert converted leaves match the module's expected shapes exactly."""
     conv_flat = jax.tree_util.tree_flatten_with_path(converted)[0]
