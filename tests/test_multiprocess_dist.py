@@ -1,0 +1,62 @@
+"""True multi-process distribution test: 2 × jax.distributed processes, 4
+virtual CPU devices each, one global (data=8) mesh — the TPU-world substitute
+for multi-node testing (SURVEY.md §4, §5.8). Complements test_dist.py's
+single-process 8-device mesh tests with real cross-process coordination
+(GRPC coordination service, global arrays from process-local shards)."""
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+_ROOT = Path(__file__).resolve().parents[1]
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_data_parallel_train_step():
+    port = _free_port()
+    coord = f"127.0.0.1:{port}"
+    env = {**os.environ, "JAX_PLATFORMS": "cpu",
+           "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+           # keep the repo importable: the ambient PYTHONPATH is overridden
+           # by the axon site dir in this environment
+           "PYTHONPATH": f"{_ROOT}:{os.environ.get('PYTHONPATH', '')}"}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(_ROOT / "tests" / "_mp_worker.py"),
+             coord, "2", str(i)],
+            cwd=_ROOT, env=env, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True)
+        for i in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=540)
+            outs.append(out)
+            assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+
+    results = []
+    for out in outs:
+        lines = [ln for ln in out.splitlines() if ln.startswith("MPRESULT")]
+        assert lines, f"no result line:\n{out[-3000:]}"
+        _, loss, gsum = lines[0].split()
+        results.append((float(loss), float(gsum)))
+
+    (l0, g0), (l1, g1) = results
+    assert np.isfinite([l0, g0, l1, g1]).all()
+    # replicated params + psum'd loss/grads ⇒ every process sees the same
+    np.testing.assert_allclose(l0, l1, rtol=1e-6)
+    np.testing.assert_allclose(g0, g1, rtol=1e-6)
