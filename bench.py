@@ -15,6 +15,10 @@ stops on a host fetch of the final carry. Params are passed as jit arguments
 mock UNet weights are random, not zeros (all-zero weights measurably hit
 fast paths).
 
+Iteration counts amortize the tunneled backend's fixed ~24 ms per-dispatch
+cost (measured: a mul-only 30-iter scan reads 0.80 ms/iter, 100-iter reads
+0.25 ms/iter — same body); 100/30 iters keep that pollution ≤ 3%.
+
 vs_baseline: ratio against the best previous round (BENCH_r*.json in repo
 root); 1.0 when no prior record exists (the reference publishes no numbers —
 BASELINE.md §1).
@@ -84,7 +88,7 @@ def main() -> None:
             grads))
         return loss + 1e-20 * gsum + 1e-20 * acc
 
-    sec = _timed_scan(render_step, params, key, iters=30)
+    sec = _timed_scan(render_step, params, key, iters=100)
     rays_per_s = B * H * W / sec
 
     # ---- secondary metric: full SDS train-step iters/s ----------------
@@ -123,7 +127,8 @@ def main() -> None:
                        for g in jax.tree_util.tree_leaves(grads))
             return loss + 1e-20 * gsum + 1e-20 * acc
 
-        sec_sds = _timed_scan(sds_step, (params, uparams), key, iters=10)
+        sec_sds = _timed_scan(sds_step, (params, uparams), key,
+                              iters=30)
         sds_iters_per_s = 1.0 / sec_sds
     except Exception:
         pass

@@ -7,7 +7,8 @@ work targets the real bottleneck (SURVEY.md §5.1 tooling). Run:
 Timing method (same as bench.py): the tunneled TPU backend does not reliably
 block in `jax.block_until_ready`, so each stage runs as a `lax.scan` whose
 carry chains iterations (forcing serial device execution) and the clock stops
-on a host fetch of the final carry.
+on a host fetch of the final carry. 100 iterations amortize the tunnel's
+fixed ~24 ms per-dispatch cost to ≤ 0.25 ms/iter (see bench.py docstring).
 """
 from __future__ import annotations
 
@@ -17,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 
-def _scan_time(name, step, iters=30, reps=2):
+def _scan_time(name, step, iters=100, reps=2):
     """step(key, acc) -> scalar that depends on the stage's full output."""
 
     @jax.jit

@@ -5,42 +5,47 @@ the UNet's arithmetic is ~0.7 TFLOP per CFG pass at batch 2, so 30 ms is
 ~25% of the measured 121 TFLOP/s matmul ceiling — this profiler splits the
 forward by layer family to find where the rest goes. Run on the TPU:
 
-    python -m scripts.profile_unet
+    python -m scripts.profile_unet [--skip-bwd]
 
 Timing method (same as bench.py / profile_render.py): the tunneled TPU
 backend does not reliably block in `jax.block_until_ready`, so every region
 is a `lax.scan` whose carry chains iterations, and the clock stops on a host
-fetch of the final carry.
+fetch of the final carry. Params are always passed as jit ARGUMENTS —
+closing over them captures multi-GB constants and stalls lowering (see
+bench.py docstring).
 """
 from __future__ import annotations
 
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 
 
-def _scan_time(name, step, iters=20, reps=2, flops=None):
+def _scan_time(name, step, params, iters=50, reps=2, flops=None):
+    """step(params, key, acc) -> scalar depending on the stage output."""
+
     @jax.jit
-    def run(key):
+    def run(params, key):
         def body(carry, _):
             key, acc = carry
             key, sub = jax.random.split(key)
-            return (key, step(sub, acc)), None
+            return (key, step(params, sub, acc)), None
 
         (_, acc), _ = jax.lax.scan(
             body, (key, jnp.float32(0.0)), None, length=iters)
         return acc
 
-    out = float(run(jax.random.key(0)))
+    out = float(run(params, jax.random.key(0)))
     assert out == out, f"NaN in stage {name}"
     best = float("inf")
     for r in range(reps):
         t0 = time.perf_counter()
-        _ = float(run(jax.random.key(r + 1)))
+        _ = float(run(params, jax.random.key(r + 1)))
         best = min(best, (time.perf_counter() - t0) / iters)
     eff = f"  ({flops / best / 1e12:6.1f} TF/s)" if flops else ""
-    print(f"{name:<52s} {best*1e3:8.2f} ms{eff}")
+    print(f"{name:<52s} {best*1e3:8.2f} ms{eff}", flush=True)
     return best
 
 
@@ -50,6 +55,7 @@ def main():
     from tpunerf.guidance.unet import (Attention, ResnetBlock, Transformer2D,
                                        UNet2DCondition, UNetConfig)
 
+    skip_bwd = "--skip-bwd" in sys.argv
     B = 2                      # CFG batch
     cfg = UNetConfig.sd_v1()
     unet = UNet2DCondition(cfg)
@@ -58,112 +64,113 @@ def main():
     t0_ = jnp.zeros((B,), jnp.int32)
     params = jax.jit(unet.init)(jax.random.key(0), x0, t0_, ctx)
 
-    print(f"backend={jax.default_backend()}  B={B}")
+    print(f"backend={jax.default_backend()}  B={B}", flush=True)
 
     # ---- whole UNet ----------------------------------------------------
-    def whole(sub, acc):
+    def whole(p, sub, acc):
         x = jax.random.normal(sub, (B, 64, 64, 4))
-        eps = unet.apply(params, x, t0_, ctx)
+        eps = unet.apply(p, x, t0_, ctx)
         return jnp.sum(jnp.abs(eps)) * 1e-10 + acc * 1e-20
 
-    t_whole = _scan_time("UNet fwd (B=2, 64x64x4)", whole)
+    t_whole = _scan_time("UNet fwd (B=2, 64x64x4)", whole, params)
 
-    def whole_bwd(sub, acc):
-        x = jax.random.normal(sub, (B, 64, 64, 4))
+    if not skip_bwd:
+        def whole_bwd(p, sub, acc):
+            x = jax.random.normal(sub, (B, 64, 64, 4))
 
-        def loss(p):
-            return jnp.sum(unet.apply(p, x, t0_, ctx) ** 2)
+            def loss(p):
+                return jnp.sum(unet.apply(p, x, t0_, ctx) ** 2)
 
-        l, g = jax.value_and_grad(loss)(params)
-        gsum = sum(jnp.sum(jnp.abs(t)) for t in jax.tree_util.tree_leaves(g))
-        return l * 1e-10 + gsum * 1e-20 + acc * 1e-20
+            l, g = jax.value_and_grad(loss)(p)
+            gsum = sum(jnp.sum(jnp.abs(t))
+                       for t in jax.tree_util.tree_leaves(g))
+            return l * 1e-10 + gsum * 1e-20 + acc * 1e-20
 
-    _scan_time("UNet fwd+bwd", whole_bwd, iters=10)
+        _scan_time("UNet fwd+bwd", whole_bwd, params, iters=20)
 
     # ---- layer families, at each resolution ---------------------------
-    # resnet blocks: (H, ch_in, ch_out, count in full UNet incl. shortcuts)
+    temb = jnp.zeros((B, 1280))
     resnets = [(64, 320, 320, 4 + 1), (32, 640, 640, 4 + 1),
                (16, 1280, 1280, 4 + 1), (8, 1280, 1280, 2 + 2 + 3)]
     total = 0.0
-    temb = jnp.zeros((B, 1280))
     for H, ci, co, n in resnets:
         blk = ResnetBlock(co, cfg.norm_num_groups)
-        p = blk.init(jax.random.key(1), jnp.zeros((B, H, H, ci)), temb)
-        # 2 convs of 3x3: 2 * 2*B*H*H*9*ci*co FLOPs (ignoring shortcut)
+        p = jax.jit(blk.init)(jax.random.key(1), jnp.zeros((B, H, H, ci)),
+                              temb)
         fl = 2 * 2 * B * H * H * 9 * ci * co
 
-        def step(sub, acc, blk=blk, p=p, H=H, ci=ci):
+        def step(p, sub, acc, blk=blk, H=H, ci=ci):
             x = jax.random.normal(sub, (B, H, H, ci))
             return jnp.sum(jnp.abs(blk.apply(p, x, temb))) * 1e-10 \
                 + acc * 1e-20
 
-        t = _scan_time(f"resnet {H}x{H} c{ci}->{co}  (x{n} in UNet)", step,
+        t = _scan_time(f"resnet {H}x{H} c{ci}->{co}  (x{n} in UNet)", step, p,
                        flops=fl)
         total += t * n
 
-    # transformer blocks (self + cross + GEGLU): (H, ch, count)
     transformers = [(64, 320, 2 + 3), (32, 640, 2 + 3), (16, 1280, 2 + 3),
                     (8, 1280, 1)]
     for H, ch, n in transformers:
         blk = Transformer2D(cfg.attention_num_heads, cfg.norm_num_groups)
-        p = blk.init(jax.random.key(1), jnp.zeros((B, H, H, ch)),
-                     jnp.zeros((B, 77, cfg.cross_attention_dim)))
+        p = jax.jit(blk.init)(jax.random.key(1), jnp.zeros((B, H, H, ch)),
+                              jnp.zeros((B, 77, cfg.cross_attention_dim)))
         N = H * H
-        # self-attn 2 matmuls + qkvo proj + GEGLU ff(4x, 2 mats) + cross qkvo
-        fl = (2 * 2 * B * N * N * ch          # self QK^T + AV
-              + 2 * B * N * ch * ch * 4        # self q,k,v,o
-              + 2 * B * N * ch * ch * 2        # cross q,o
-              + 2 * B * 77 * 768 * ch * 2      # cross k,v
-              + 2 * 2 * B * N * 77 * ch        # cross QK^T + AV
-              + 2 * B * N * ch * (8 * ch + 4 * ch))   # GEGLU proj + out
+        fl = (2 * 2 * B * N * N * ch
+              + 2 * B * N * ch * ch * 4
+              + 2 * B * N * ch * ch * 2
+              + 2 * B * 77 * 768 * ch * 2
+              + 2 * 2 * B * N * 77 * ch
+              + 2 * B * N * ch * (8 * ch + 4 * ch))
 
-        def step(sub, acc, blk=blk, p=p, H=H, ch=ch):
+        def step(p, sub, acc, blk=blk, H=H, ch=ch):
             x = jax.random.normal(sub, (B, H, H, ch))
             c = jax.random.normal(jax.random.fold_in(sub, 1),
                                   (B, 77, cfg.cross_attention_dim))
             return jnp.sum(jnp.abs(blk.apply(p, x, c))) * 1e-10 + acc * 1e-20
 
-        t = _scan_time(f"transformer2d {H}x{H} c{ch}  (x{n} in UNet)", step,
+        t = _scan_time(f"transformer2d {H}x{H} c{ch}  (x{n} in UNet)", step, p,
                        flops=fl)
         total += t * n
 
-    # up-path resnets see concat'd skip channels (ci = co*2 or co*3/2):
-    # approximate with the measured same-ch numbers; report the gap instead.
+    # up-path resnets see concat'd skips (ci up to 2×co) — the family rows
+    # above undercount them; the gap to the whole-UNet row is that + glue
     print(f"{'sum of family times x counts (approx)':<52s} "
-          f"{total*1e3:8.2f} ms   vs whole {t_whole*1e3:.2f} ms")
+          f"{total*1e3:8.2f} ms   vs whole {t_whole*1e3:.2f} ms", flush=True)
 
     # ---- isolated hot candidates ---------------------------------------
     attn = Attention(cfg.attention_num_heads)
-    p_attn = attn.init(jax.random.key(1), jnp.zeros((B, 4096, 320)))
+    p_attn = jax.jit(attn.init)(jax.random.key(1), jnp.zeros((B, 4096, 320)))
 
-    def self_attn_step(sub, acc):
+    def self_attn_step(p, sub, acc):
         x = jax.random.normal(sub, (B, 4096, 320))
-        return jnp.sum(jnp.abs(attn.apply(p_attn, x))) * 1e-10 + acc * 1e-20
+        return jnp.sum(jnp.abs(attn.apply(p, x))) * 1e-10 + acc * 1e-20
 
-    _scan_time("self-attn 4096 tokens c320 (flash path)", self_attn_step)
+    _scan_time("self-attn 4096 tokens c320 (flash path)", self_attn_step,
+               p_attn)
 
     attn1024 = Attention(cfg.attention_num_heads)
-    p_attn1024 = attn1024.init(jax.random.key(1), jnp.zeros((B, 1024, 640)))
+    p_attn1024 = jax.jit(attn1024.init)(jax.random.key(1),
+                                        jnp.zeros((B, 1024, 640)))
 
-    def self_attn_1024(sub, acc):
+    def self_attn_1024(p, sub, acc):
         x = jax.random.normal(sub, (B, 1024, 640))
-        return jnp.sum(jnp.abs(attn1024.apply(p_attn1024, x))) * 1e-10 \
-            + acc * 1e-20
+        return jnp.sum(jnp.abs(attn1024.apply(p, x))) * 1e-10 + acc * 1e-20
 
-    _scan_time("self-attn 1024 tokens c640 (naive path)", self_attn_1024)
+    _scan_time("self-attn 1024 tokens c640 (naive path)", self_attn_1024,
+               p_attn1024)
 
-    # a bare 3x3 conv at the widest layer, f32 vs bf16
     for dt, tag in ((jnp.float32, "f32"), (jnp.bfloat16, "bf16")):
         conv = nn.Conv(320, (3, 3), padding=1, dtype=dt)
-        pc = conv.init(jax.random.key(1), jnp.zeros((B, 64, 64, 320)))
+        pc = jax.jit(conv.init)(jax.random.key(1),
+                                jnp.zeros((B, 64, 64, 320), dt))
         fl = 2 * B * 64 * 64 * 9 * 320 * 320
 
-        def conv_step(sub, acc, conv=conv, pc=pc, dt=dt):
+        def conv_step(pc, sub, acc, conv=conv, dt=dt):
             x = jax.random.normal(sub, (B, 64, 64, 320), dt)
             return jnp.sum(jnp.abs(conv.apply(pc, x)).astype(jnp.float32)) \
                 * 1e-10 + acc * 1e-20
 
-        _scan_time(f"conv3x3 64x64 c320->320 {tag}", conv_step, flops=fl)
+        _scan_time(f"conv3x3 64x64 c320->320 {tag}", conv_step, pc, flops=fl)
 
 
 if __name__ == "__main__":

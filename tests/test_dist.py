@@ -86,3 +86,36 @@ def test_sharded_equals_single_device_loss(layout, tmp_path):
         shard_params_replicated(params, layout), shard_views(views, layout))
     np.testing.assert_allclose(float(loss_single), float(loss_sharded),
                                rtol=1e-4)
+
+
+def test_trainer_dp_resume_restores_replication(tmp_path):
+    """Resume under auto data-parallel must re-place restored params with the
+    replicated sharding (regression: a plain asarray load lands on one
+    device while views stay mesh-sharded)."""
+    import dataclasses
+
+    from tpunerf.training.config import (GuideConfig, LogConfig, OptimConfig,
+                                         RenderConfig, TrainConfig)
+    from tpunerf.training.latent_nerf_app import LatentNeRFApp
+    from tpunerf.training.trainer import Trainer
+
+    cfg = TrainConfig(
+        log=LogConfig(exp_name="dpr", exp_root=tmp_path, save_interval=2,
+                      eval_size=1, full_eval_size=1, vis_train_prob=0.0,
+                      save_mesh=False),
+        render=RenderConfig(train_grid_size=16, num_samples_per_ray=16,
+                            eval_grid_size=16, batch_size=8),
+        optim=OptimConfig(iters=2, seed=0),
+        guide=GuideConfig(text="x", tiny_diffusion=True))
+    t1 = Trainer(cfg, LatentNeRFApp.create(cfg))
+    assert t1.layout is not None, "8 virtual devices must enable DP"
+    t1.train()
+
+    cfg2 = dataclasses.replace(
+        cfg, optim=dataclasses.replace(cfg.optim, iters=3, resume=True))
+    t2 = Trainer(cfg2, LatentNeRFApp.create(cfg2))
+    assert t2.train_step_idx == 2
+    leaf = jax.tree_util.tree_leaves(t2.params)[0]
+    assert leaf.sharding.is_fully_replicated
+    t2.train()                       # one more DP step from the restore
+    assert t2.train_step_idx == 3

@@ -270,9 +270,20 @@ class Trainer:
         params = self.app.migrate_params(params)
         self.params = jax.tree_util.tree_map(jnp.asarray, params)
         if not model_only:
-            self.train_step_idx = next_step
+            # the loop is increment-then-run: restoring to the SAVED step
+            # makes the next executed step `saved + 1` (next_step would skip
+            # one step — regression-tested in tests/test_dist.py)
+            self.train_step_idx = next_step - 1
             if opt_state is not None:
                 self.opt_state = opt_state
+        if self.layout is not None:
+            # restore the replicated placement — a plain asarray load lands
+            # on the default device and would silently single-device the
+            # data-parallel step
+            self.params = jax.device_put(self.params,
+                                         self.layout.replicated())
+            self.opt_state = jax.device_put(self.opt_state,
+                                            self.layout.replicated())
         if jax.process_count() > 1:
             # multihost barrier at restore (SURVEY.md §5.3) — every process
             # must finish reading before any starts mutating checkpoints
