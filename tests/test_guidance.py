@@ -215,3 +215,18 @@ def test_flash_sdpa_matches_naive_interpret():
         out = unet_lib._flash_sdpa(q, k, v, D)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=5e-3, rtol=1e-3)
+
+
+def test_maybe_load_concept_cfg_hook(tmp_path):
+    """The cfg-driven hook shared by all apps (reference loads concepts in
+    StableDiffusion.__init__, sd.py:91): loads when the dir exists, no-ops
+    on None/missing paths."""
+    sd2 = StableDiffusionGuidance.create(jax.random.key(4), tiny=True)
+    assert sd2.maybe_load_concept(None) is None
+    assert sd2.maybe_load_concept(tmp_path / "missing") is None
+    import torch
+    emb_dim = sd2.text_encoder.config.hidden_size
+    torch.save({"<toy2>": torch.randn(emb_dim)},
+               tmp_path / "learned_embeds.bin")
+    (tmp_path / "token_identifier.txt").write_text("<toy2>")
+    assert sd2.maybe_load_concept(tmp_path) == "<toy2>"

@@ -67,9 +67,13 @@ def test_resume_from_checkpoint(trained):
     cfg2 = dataclasses.replace(
         cfg, optim=dataclasses.replace(cfg.optim, resume=True, iters=7))
     trainer2 = Trainer(cfg2, app)
-    assert trainer2.train_step_idx == 7  # resumed past the saved step 6
+    # restored AT the saved step 6: the increment-then-run loop executes
+    # exactly step 7 next (the old `saved+1` restore silently skipped it)
+    assert trainer2.train_step_idx == 6
     np.testing.assert_allclose(np.asarray(trainer2.params["texture_img"]),
                                np.asarray(trainer.params["texture_img"]))
+    trainer2.train()
+    assert trainer2.train_step_idx == 7
 
 
 def test_latent_to_rgb_migration(trained):

@@ -199,6 +199,18 @@ class StableDiffusionGuidance:
         self.load_concept(token, learned[trained_token].numpy())
         return token
 
+    def maybe_load_concept(self, concept_name) -> Optional[str]:
+        """cfg-driven textual-inversion hook, shared by every app (the
+        reference loads concepts inside StableDiffusion.__init__, sd.py:91,
+        so all trainers get them): `concept_name` is a concept directory
+        path; no-op when unset or missing."""
+        if not concept_name:
+            return None
+        cdir = Path(concept_name)
+        if cdir.is_dir():
+            return self.load_concept_dir(cdir)
+        return None
+
     # ------------------------------------------------------------------ #
     # SDS / DDS (jit-friendly loss functions)
     # ------------------------------------------------------------------ #

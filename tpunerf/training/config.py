@@ -82,6 +82,7 @@ class OptimConfig:
     lambda_sparsity: float = 5e-4
     lambda_opacity: float = 0.0
     start_shading_iter: Optional[int] = None
+    check_nan: bool = False                 # per-step finite-loss guard
 
 
 @dataclasses.dataclass
@@ -98,6 +99,9 @@ class LogConfig:
     eval_only: bool = False
     vis_train_prob: float = 0.05            # 5% train-render dumps
     log_images: bool = True
+    # capture a jax.profiler trace of steps [a, b) into <exp_dir>/trace
+    # (SURVEY.md §5.1 — view in TensorBoard/XProf)
+    trace_steps: Optional[Tuple[int, int]] = None
 
     @property
     def exp_dir(self) -> Path:

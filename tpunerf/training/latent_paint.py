@@ -72,13 +72,7 @@ class LatentPaintApp:
                 model_dir=cfg.guide.model_dir,
                 latent_mode=latent_mode,
                 min_step=cfg.optim.min_step, max_step=cfg.optim.max_step)
-            if cfg.guide.concept_name:
-                # textual-inversion concept dir (learned_embeds.bin +
-                # token_identifier.txt — reference sd.py:125-126,130-159)
-                from pathlib import Path as _P
-                cdir = _P(cfg.guide.concept_name)
-                if cdir.is_dir():
-                    guidance.load_concept_dir(cdir)
+            guidance.maybe_load_concept(cfg.guide.concept_name)
         scene = TexturedMeshScene.create(
             mesh=mesh,
             shape_path=cfg.guide.shape_path,

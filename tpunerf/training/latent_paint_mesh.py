@@ -87,6 +87,7 @@ class LatentPaintMeshApp:
                 tiny=cfg.guide.tiny_diffusion,
                 model_dir=cfg.guide.model_dir, latent_mode=latent_mode,
                 min_step=cfg.optim.min_step, max_step=cfg.optim.max_step)
+            guidance.maybe_load_concept(cfg.guide.concept_name)
         if not use_sd and pbe is None:
             pbe = PaintByExampleGuidance.create(
                 jax.random.key(cfg.optim.seed), tiny=cfg.guide.tiny_diffusion)

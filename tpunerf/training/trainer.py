@@ -148,9 +148,23 @@ class Trainer:
             views = rand_poses(k_view, cfg.render.batch_size, self.view_cfg)
             if self.layout is not None:
                 views = jax.device_put(views, self.layout.views())
+            if (cfg.log.trace_steps
+                    and self.train_step_idx == cfg.log.trace_steps[0]):
+                jax.profiler.start_trace(str(self.exp_dir / "trace"))
             self.params, self.opt_state, loss, gnorm, aux = self._train_step(
                 self.params, self.opt_state, k_loss, views,
                 jnp.asarray(self.train_step_idx))
+            if (cfg.log.trace_steps
+                    and self.train_step_idx == cfg.log.trace_steps[1]):
+                jax.block_until_ready(loss)
+                jax.profiler.stop_trace()
+                self.logger.info(f"profiler trace written to "
+                                 f"{self.exp_dir / 'trace'}")
+            if cfg.optim.check_nan and not np.isfinite(float(loss)):
+                self.save_checkpoint(full=True)
+                raise FloatingPointError(
+                    f"non-finite loss at step {self.train_step_idx} "
+                    f"(checkpoint saved)")
             post = getattr(self.app, "post_step", None)
             if post is not None:
                 self.key, k_post = jax.random.split(self.key)
