@@ -112,3 +112,27 @@ def test_dibr_rasterization_api():
     assert img.shape == (1, 8, 8, 4)
     assert soft.shape == (1, 8, 8)
     assert fid.shape == (1, 8, 8)
+
+
+def test_pallas_selection_matches_xla_scan():
+    """The TPU Pallas selection kernel (interpret mode on CPU) must agree
+    with the XLA chunked-scan selection exactly, including tie-breaking
+    (lowest face id) and background pixels."""
+    from tpunerf.core import camera as cam
+    from tpunerf.kernels.rasterize import (_select_faces,
+                                           _select_faces_pallas,
+                                           pixel_grid_ndc)
+    from tpunerf.meshrep.shapes import uv_sphere
+
+    mesh = uv_sphere()
+    verts = mesh.vertices * 0.6
+    faces = mesh.faces
+    tr = cam.camera_transform_from_view(1.0, 0.7, 1.3)
+    fv_cam, fv_img, _ = cam.prepare_vertices(
+        verts, faces, cam.perspective_projection(), tr)
+    fv_z = fv_cam[..., 2]
+    valid = jnp.ones((faces.shape[0],), bool)
+    pix = pixel_grid_ndc(48, 48)
+    ref = _select_faces(pix, fv_img, fv_z, valid, 256)
+    got = _select_faces_pallas(pix, fv_img, fv_z, valid, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
