@@ -136,3 +136,35 @@ def test_pallas_selection_matches_xla_scan():
     ref = _select_faces(pix, fv_img, fv_z, valid, 256)
     got = _select_faces_pallas(pix, fv_img, fv_z, valid, interpret=True)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_pallas_soft_silhouette_matches_xla(monkeypatch):
+    """Pallas soft-silhouette fwd + custom-VJP bwd (interpret mode on CPU)
+    vs the XLA scan and its jax.grad."""
+    import tpunerf.kernels.rasterize as R
+    from tpunerf.core import camera as cam
+    from tpunerf.meshrep.shapes import uv_sphere
+
+    monkeypatch.setattr(R, "_SOFT_INTERPRET", True)
+    mesh = uv_sphere(12, 16)
+    verts = mesh.vertices * 0.6
+    faces = mesh.faces
+    tr = cam.camera_transform_from_view(1.0, 0.7, 1.3)
+    _, fv_img, _ = cam.prepare_vertices(
+        verts, faces, cam.perspective_projection(), tr)
+    sigma = 1e-4
+    H = W = 32
+    pix = R.pixel_grid_ndc(H, W)
+
+    ref = R._soft_tile(pix, fv_img, sigma, 256).reshape(H, W)
+    got = R._soft_single_pallas(fv_img, H, W, sigma)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-6)
+
+    g = jax.random.normal(jax.random.key(0), (H, W))
+    ref_grad = jax.grad(lambda fv: jnp.sum(
+        R._soft_tile(pix, fv, sigma, 256).reshape(H, W) * g))(fv_img)
+    got_grad = jax.grad(lambda fv: jnp.sum(
+        R._soft_single_pallas(fv, H, W, sigma) * g))(fv_img)
+    scale = float(jnp.abs(ref_grad).max())
+    np.testing.assert_allclose(np.asarray(got_grad), np.asarray(ref_grad),
+                               atol=5e-6 * max(scale, 1.0))
