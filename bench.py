@@ -145,9 +145,14 @@ def main() -> None:
 
     out = {"metric": "latent_nerf_rays_per_s_fwd_bwd_64x64",
            "value": round(rays_per_s, 1), "unit": "rays/s",
-           "vs_baseline": round(vs_baseline, 3)}
+           "vs_baseline": round(vs_baseline, 3),
+           # method record: per-iter time amortizes a fixed ~24 ms dispatch
+           # cost, so the iteration count is part of the measurement —
+           # r01 was taken at 30 iters, r02+ at 100 (ADVICE.md)
+           "scan_iters": 100}
     if sds_iters_per_s is not None:
         out["sds_iters_per_s_full_unet"] = round(sds_iters_per_s, 2)
+        out["sds_scan_iters"] = 30
     print(json.dumps(out))
 
 

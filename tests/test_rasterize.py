@@ -168,3 +168,23 @@ def test_pallas_soft_silhouette_matches_xla(monkeypatch):
     scale = float(jnp.abs(ref_grad).max())
     np.testing.assert_allclose(np.asarray(got_grad), np.asarray(ref_grad),
                                atol=5e-6 * max(scale, 1.0))
+
+
+def test_degenerate_face_xla_matches_pallas_soft(monkeypatch):
+    """Exactly-degenerate faces (zero-area) must not read as 'interior
+    everywhere' in the XLA fallback — both backends exclude them from the
+    inside test and keep only boundary distance (ADVICE.md r1)."""
+    import tpunerf.kernels.rasterize as R
+
+    monkeypatch.setattr(R, "_SOFT_INTERPRET", True)
+    # one healthy face + one zero-area face (all three verts collinear)
+    fv = jnp.array([[[-0.5, -0.5], [0.5, -0.5], [0.0, 0.5]],
+                    [[0.2, 0.2], [0.2, 0.2], [0.2, 0.2]]])
+    sigma = 1e-3
+    H = W = 16
+    pix = R.pixel_grid_ndc(H, W)
+    ref = R._soft_tile(pix, fv, sigma, 256).reshape(H, W)
+    got = R._soft_single_pallas(fv, H, W, sigma)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-6)
+    # far corner must NOT be driven to 1 by the degenerate face
+    assert np.asarray(ref)[0, 15] < 0.5

@@ -334,7 +334,11 @@ def _soft_tile(pix: jnp.ndarray, fv_img: jnp.ndarray, sigma: float,
         tri, valid = chunk
         w, denom = _edge_weights(pix, tri)
         sgn = jnp.sign(denom)
-        inside = jnp.all(w * sgn[..., None] >= 0.0, axis=-1)     # (Fc, P)
+        # degenerate faces (denom == 0 → sgn == 0 → w·0 ≥ 0 everywhere) must
+        # not count as interior; they keep their boundary distance — matches
+        # the Pallas path's zero_in handling in _soft_tables
+        inside = (jnp.all(w * sgn[..., None] >= 0.0, axis=-1)
+                  & (jnp.abs(denom) > _EPS))                     # (Fc, P)
         d2 = jnp.minimum(
             _point_segment_dist2(pix, tri[:, 0], tri[:, 1]),
             jnp.minimum(_point_segment_dist2(pix, tri[:, 1], tri[:, 2]),

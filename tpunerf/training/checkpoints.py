@@ -57,6 +57,20 @@ class CheckpointManager:
             ckpts.pop(0).unlink()
         return path
 
+    def save_debug(self, name: str, step: int, params: Any,
+                   is_main_process: bool = True) -> Path:
+        """Save params under `<name>.ckpt` — OUTSIDE the `step_*` glob, so it
+        is never evicted by rolling retention and never picked up by a
+        latest-checkpoint resume (used for NaN post-mortems)."""
+        path = self.ckpt_dir / f"{name}.ckpt"
+        if not is_main_process:
+            return path
+        state: Dict[str, Any] = {
+            "train_step": step,
+            "params": serialization.to_state_dict(_to_host(params))}
+        path.write_bytes(serialization.msgpack_serialize(state))
+        return path
+
     def load(self, path: Optional[Path] = None,
              params_template: Optional[Any] = None,
              opt_state_template: Optional[Any] = None

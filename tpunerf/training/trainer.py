@@ -87,21 +87,39 @@ class Trainer:
         self.opt_state = self.tx.init(self.params)
         self.train_step_idx = 0
 
-        # data-parallel sharding across local devices (SURVEY.md §2.7):
-        # params replicated, view batch split over the `data` axis — XLA
-        # inserts the gradient psum from the sharding annotations
+        # device-mesh sharding across local devices (SURVEY.md §2.7/§5.7):
+        # params replicated, view batch split over `data`, pixels of each
+        # frame over `rays` — XLA inserts the gradient psum from the
+        # sharding annotations
         self.layout = None
         n_dev = len(jax.devices())
-        if n_dev > 1 and cfg.render.batch_size % n_dev == 0:
-            from tpunerf.dist.mesh import make_mesh
-            self.layout = make_mesh(n_data=n_dev, n_rays=1)
-            self.params = jax.device_put(self.params,
-                                         self.layout.replicated())
-            self.opt_state = jax.device_put(self.opt_state,
-                                            self.layout.replicated())
-            self.logger.info(
-                f"data-parallel over {n_dev} devices "
-                f"(batch {cfg.render.batch_size})")
+        if n_dev > 1:
+            n_rays = max(1, cfg.dist.rays_axis)
+            n_data = (n_dev // n_rays if cfg.dist.data_axis == -1
+                      else cfg.dist.data_axis)
+            if n_data * n_rays != n_dev:
+                self.logger.warning(
+                    f"dist mesh ({n_data}×{n_rays}) does not tile the "
+                    f"{n_dev} devices — running SINGLE-device; set "
+                    f"dist.data_axis/dist.rays_axis to factor {n_dev}")
+            elif cfg.render.batch_size % n_data != 0:
+                self.logger.warning(
+                    f"batch_size {cfg.render.batch_size} not divisible by "
+                    f"the data axis ({n_data}) — running SINGLE-device; "
+                    f"set render.batch_size to a multiple of {n_data} to "
+                    f"enable the {n_dev}-device mesh")
+            else:
+                from tpunerf.dist.mesh import make_mesh
+                self.layout = make_mesh(n_data=n_data, n_rays=n_rays)
+                self.params = jax.device_put(self.params,
+                                             self.layout.replicated())
+                self.opt_state = jax.device_put(self.opt_state,
+                                                self.layout.replicated())
+                if hasattr(app, "set_layout"):
+                    app.set_layout(self.layout)
+                self.logger.info(
+                    f"device mesh: data={n_data} × rays={n_rays} "
+                    f"(batch {cfg.render.batch_size})")
 
         self.ckpts = CheckpointManager(self.ckpt_dir,
                                        max_keep=cfg.log.max_keep_ckpts)
@@ -142,29 +160,43 @@ class Trainer:
         # (it still includes the step compile; steady-state is row 2+)
         self._last_metric_time = _time.perf_counter()
 
+        tracing = False
         while self.train_step_idx < cfg.optim.iters:
             self.train_step_idx += 1
             self.key, k_view, k_loss = jax.random.split(self.key, 3)
             views = rand_poses(k_view, cfg.render.batch_size, self.view_cfg)
             if self.layout is not None:
                 views = jax.device_put(views, self.layout.views())
-            if (cfg.log.trace_steps
+            # trace captures steps [a, b): start before executing a, stop
+            # before executing b
+            if (cfg.log.trace_steps and not tracing
                     and self.train_step_idx == cfg.log.trace_steps[0]):
                 jax.profiler.start_trace(str(self.exp_dir / "trace"))
+                tracing = True
+            elif tracing and self.train_step_idx >= cfg.log.trace_steps[1]:
+                jax.profiler.stop_trace()
+                tracing = False
+                self.logger.info(f"profiler trace written to "
+                                 f"{self.exp_dir / 'trace'}")
+            # kept so a non-finite step can checkpoint the LAST GOOD params
+            # (the step's update has already been applied to self.params);
+            # buffers are not donated, so this alias is free
+            prev_params = self.params if cfg.optim.check_nan else None
             self.params, self.opt_state, loss, gnorm, aux = self._train_step(
                 self.params, self.opt_state, k_loss, views,
                 jnp.asarray(self.train_step_idx))
-            if (cfg.log.trace_steps
-                    and self.train_step_idx == cfg.log.trace_steps[1]):
-                jax.block_until_ready(loss)
-                jax.profiler.stop_trace()
-                self.logger.info(f"profiler trace written to "
-                                 f"{self.exp_dir / 'trace'}")
             if cfg.optim.check_nan and not np.isfinite(float(loss)):
-                self.save_checkpoint(full=True)
+                # pre-update params, under a name outside rolling retention —
+                # a poisoned step_*.ckpt could evict the last good checkpoint
+                # and then be what --optim.resume loads
+                path = self.ckpts.save_debug(
+                    "nan_debug", self.train_step_idx - 1, prev_params,
+                    is_main_process=jax.process_index() == 0)
+                if tracing:
+                    jax.profiler.stop_trace()
                 raise FloatingPointError(
                     f"non-finite loss at step {self.train_step_idx} "
-                    f"(checkpoint saved)")
+                    f"(last-good params saved to {path})")
             post = getattr(self.app, "post_step", None)
             if post is not None:
                 self.key, k_post = jax.random.split(self.key)
@@ -193,6 +225,12 @@ class Trainer:
             if (cfg.log.log_images and "image" in aux
                     and rng.random() < cfg.log.vis_train_prob):
                 self._log_train_render(aux)
+        if tracing:
+            # out-of-range upper bound must not leave the profiler running
+            jax.block_until_ready(self.params)
+            jax.profiler.stop_trace()
+            self.logger.info(f"profiler trace written to "
+                             f"{self.exp_dir / 'trace'}")
         pbar.close()
         self.logger.info("Finished Training ^_^")
         self.logger.info("Evaluating the last model...")
