@@ -40,6 +40,9 @@ class LatentNeRFScene:
     train_grid_size: int = 64
     occ_update_interval: int = 16
     occ_warmup_steps: int = 64     # march everything until the grid is hot
+    # device-mesh layout (dist.mesh.MeshLayout) — when set, every (B, P, …)
+    # ray tensor in the render is sharding-constrained to (data, rays)
+    layout: Optional[Any] = None
 
     @classmethod
     def create(cls, nerf_type: str = "latent", tiny: bool = False,
@@ -53,10 +56,8 @@ class LatentNeRFScene:
             fcfg, out_channels=4 if nerf_type == "latent" else 3, bound=bound)
         sdf = None
         if shape_path is not None:
-            from tpunerf.meshrep.mesh import Mesh
             from tpunerf.meshrep import shapes as shp
-            mesh = (shp.uv_sphere() if shape_path == "sphere"
-                    else Mesh.load(shape_path))
+            mesh = shp.load_shape(shape_path)
             mesh = mesh.normalize(target_scale=shape_scale, dy=dy)
             sdf = SDFGrid.from_mesh(np.asarray(mesh.vertices),
                                     np.asarray(mesh.faces),
@@ -97,10 +98,17 @@ class LatentNeRFScene:
         rays = vr.generate_rays(views.theta, views.phi, views.radius, H, W,
                                 fovy=self.fovy, look_at_height=self.dy,
                                 bound=self.march.bound)
+        constrain = None
+        B_in, P_in = rays.origins.shape[0], rays.origins.shape[1]
+        if (self.layout is not None and B_in % self.layout.n_data == 0
+                and P_in % self.layout.n_rays == 0):
+            constrain = self.layout.constrain_rays
+            rays = vr.Rays(*(constrain(x) for x in rays))
         occ_grid = params["occ_grid"] if use_occupancy else None
         res = vr.render_rays(self._sigma_color_fn(params["field"]), rays, key,
                              self.march, occ_grid=occ_grid,
-                             occ_cfg=self.occ_cfg, perturb=perturb)
+                             occ_cfg=self.occ_cfg, perturb=perturb,
+                             constrain=constrain)
         B, P, C = res.image.shape
         if white_background:
             bg = jnp.ones((B, P, C), res.image.dtype)

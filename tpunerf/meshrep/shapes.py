@@ -1,16 +1,63 @@
-"""Procedural mesh assets (unit sphere, env dome, box).
+"""Procedural mesh assets (unit sphere, env dome, box) + shape resolution.
 
 The reference ships binary OBJ assets (`shapes/`, incl. `env_sphere.obj` used
 as the learnable background dome — textured_mesh.py:52-58). This framework
 generates equivalent geometry procedurally so it is fully self-contained;
 external OBJ assets load through meshrep.mesh.Mesh the same way.
+
+`load_shape` implements the shape-path resolution chain so every published
+demo config is runnable in this environment: procedural name → path as
+given → repo `shapes/` → the directories in $TPUNERF_SHAPE_DIRS (defaults
+to the reference's read-only asset directory — OBJ meshes are data inputs,
+not code).
 """
 from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Optional, Union
 
 import numpy as np
 
 from tpunerf.meshrep.mesh import Mesh
 import jax.numpy as jnp
+
+_REPO_ROOT = Path(__file__).resolve().parents[2]
+_DEFAULT_SHAPE_DIRS = "/root/reference/shapes"
+
+
+def resolve_shape_path(path: Union[str, Path]) -> Path:
+    """Resolve a shape path to an existing file: as given → relative to the
+    repo root → repo `shapes/<basename>` → each dir in $TPUNERF_SHAPE_DIRS
+    (colon-separated). Raises FileNotFoundError listing every location
+    searched."""
+    path = Path(path)
+    candidates = [path, _REPO_ROOT / path, _REPO_ROOT / "shapes" / path.name]
+    extra = os.environ.get("TPUNERF_SHAPE_DIRS", _DEFAULT_SHAPE_DIRS)
+    for d in filter(None, extra.split(":")):
+        candidates.append(Path(d) / path.name)
+    for c in candidates:
+        if c.is_file():
+            return c
+    raise FileNotFoundError(
+        f"shape '{path}' not found; searched: "
+        + ", ".join(str(c) for c in candidates)
+        + ". Use a procedural name (sphere, icosphere, env_sphere), place "
+        "the OBJ under shapes/, or point TPUNERF_SHAPE_DIRS at an asset "
+        "directory.")
+
+
+def load_shape(shape_path: Optional[Union[str, Path]]) -> Mesh:
+    """Shape loader used by every app: procedural names first, then the
+    file resolution chain. `None` → unit UV sphere."""
+    name = None if shape_path is None else str(shape_path)
+    if name in (None, "sphere"):
+        return uv_sphere()
+    if name == "icosphere":
+        return icosphere()
+    if name in ("env_sphere", "env_dome"):
+        return env_sphere()
+    return Mesh.load(resolve_shape_path(shape_path))
 
 
 def uv_sphere(n_lat: int = 32, n_lon: int = 64, radius: float = 1.0

@@ -70,10 +70,7 @@ class TexturedMeshScene:
         """Load + normalize the target mesh and resolve its UV source
         (reference textured_mesh.py:52-109)."""
         if mesh is None:
-            if shape_path in (None, "sphere"):
-                mesh = shapes.uv_sphere()
-            else:
-                mesh = Mesh.load(shape_path)
+            mesh = shapes.load_shape(shape_path)
         mesh = mesh.normalize(target_scale=shape_scale, dy=dy)
 
         if mesh.vt is not None and mesh.ft is not None and \
