@@ -157,14 +157,15 @@ def test_pallas_soft_silhouette_matches_xla(monkeypatch):
     pix = R.pixel_grid_ndc(H, W)
 
     ref = R._soft_tile(pix, fv_img, sigma, 256).reshape(H, W)
-    got = R._soft_single_pallas(fv_img, H, W, sigma)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-6)
+    got = R._soft_batched_pallas(fv_img[None], H, W, sigma, 768)
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref),
+                               atol=5e-6)
 
     g = jax.random.normal(jax.random.key(0), (H, W))
     ref_grad = jax.grad(lambda fv: jnp.sum(
         R._soft_tile(pix, fv, sigma, 256).reshape(H, W) * g))(fv_img)
     got_grad = jax.grad(lambda fv: jnp.sum(
-        R._soft_single_pallas(fv, H, W, sigma) * g))(fv_img)
+        R._soft_batched_pallas(fv[None], H, W, sigma, 768)[0] * g))(fv_img)
     scale = float(jnp.abs(ref_grad).max())
     np.testing.assert_allclose(np.asarray(got_grad), np.asarray(ref_grad),
                                atol=5e-6 * max(scale, 1.0))
@@ -184,7 +185,141 @@ def test_degenerate_face_xla_matches_pallas_soft(monkeypatch):
     H = W = 16
     pix = R.pixel_grid_ndc(H, W)
     ref = R._soft_tile(pix, fv, sigma, 256).reshape(H, W)
-    got = R._soft_single_pallas(fv, H, W, sigma)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-6)
+    got = R._soft_batched_pallas(fv[None], H, W, sigma, 768)
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref),
+                               atol=5e-6)
     # far corner must NOT be driven to 1 by the degenerate face
     assert np.asarray(ref)[0, 15] < 0.5
+
+
+def _sphere_proj(n_lat=24, n_lon=32, scale=0.6, theta=1.0, phi=0.7, r=1.3):
+    from tpunerf.core import camera as cam
+    from tpunerf.meshrep.shapes import uv_sphere
+
+    mesh = uv_sphere(n_lat, n_lon)
+    verts = mesh.vertices * scale
+    tr = cam.camera_transform_from_view(theta, phi, r)
+    fv_cam, fv_img, _ = cam.prepare_vertices(
+        verts, mesh.faces, cam.perspective_projection(), tr)
+    return fv_img, fv_cam[..., 2]
+
+
+def test_binned_selection_matches_xla():
+    """Band-binned Pallas selection (interpret mode) vs the XLA scan at a
+    resolution where binning engages, including tie-breaking."""
+    import tpunerf.kernels.rasterize as R
+
+    fv_img, fv_z = _sphere_proj()
+    F = fv_img.shape[0]
+    K = 512
+    assert F > 2 * K, "test must engage the binned branch"
+    H = W = 128
+    pix = R.pixel_grid_ndc(H, W)
+    # confirm the bins don't overflow so the binned branch truly runs
+    nb = (H * W) // (R._PSUB * R._PLANE)
+    ylo, yhi = R._band_ranges(H, W, nb)
+    _, maxc = R._bin_faces(fv_img, jnp.ones((F,), bool), ylo, yhi, K, 0.0)
+    assert int(maxc) <= K, int(maxc)
+
+    valid = jnp.ones((F,), bool)
+    ref = R._select_faces(pix, fv_img, fv_z, valid, 256)
+    got = R._select_faces_batched(pix, fv_img[None], fv_z[None],
+                                  valid[None], H, W, K=K, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(ref))
+
+
+def test_binned_selection_overflow_falls_back():
+    """Bins that overflow K must route through the dense kernel and still
+    match the XLA scan (a dropped face would be silently wrong)."""
+    import tpunerf.kernels.rasterize as R
+
+    F = 200
+    tri = jnp.array([[-0.9, -0.9], [0.9, -0.9], [0.0, 0.9]])
+    fv_img = jnp.broadcast_to(tri, (F, 3, 2))
+    fv_z = jnp.broadcast_to((-2.0 + 0.001 * jnp.arange(F))[:, None], (F, 3))
+    K = 64
+    assert F > 2 * K
+    H = W = 128
+    pix = R.pixel_grid_ndc(H, W)
+    valid = jnp.ones((F,), bool)
+    ref = R._select_faces(pix, fv_img, fv_z, valid, 256)
+    got = R._select_faces_batched(pix, fv_img[None], fv_z[None],
+                                  valid[None], H, W, K=K, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(ref))
+
+
+def test_binned_soft_matches_xla(monkeypatch):
+    """Binned batched soft silhouette fwd + custom-VJP bwd vs the XLA scan
+    and its jax.grad, at a binning-engaged resolution, batch of 2 poses.
+
+    The bwd comparison tolerates a tiny outlier fraction: at exact
+    min-segment-distance ties the closed-form VJP routes the full gradient
+    to the first minimal segment while XLA autodiff splits subgradients
+    50/50 — both valid; measured on TPU the binned and dense Pallas paths
+    agree to 4e-10 while one face in ~350 differs from autodiff by ~1e-4
+    relative (bin-independent, pre-existing kernel semantics)."""
+    import tpunerf.kernels.rasterize as R
+
+    monkeypatch.setattr(R, "_SOFT_INTERPRET", True)
+    fv_a, _ = _sphere_proj(12, 16, theta=1.0, phi=0.7)
+    fv_b, _ = _sphere_proj(12, 16, theta=0.6, phi=2.1)
+    fv = jnp.stack([fv_a, fv_b])
+    F = fv.shape[1]
+    sigma = 1e-4
+    K = 128
+    assert F > 2 * K
+    H = W = 128
+    _, overflow = R._soft_batched_bins(fv, H, W, sigma, K,
+                                       (H * W) // (R._PSUB * R._PLANE))
+    assert not bool(overflow), "test must engage the binned branch"
+
+    pix = R.pixel_grid_ndc(H, W)
+    got = R._soft_batched_pallas(fv, H, W, sigma, K)
+    for b in range(2):
+        ref = R._soft_tile(pix, fv[b], sigma, 256).reshape(H, W)
+        np.testing.assert_allclose(np.asarray(got[b]), np.asarray(ref),
+                                   atol=5e-6)
+
+    g = jax.random.normal(jax.random.key(0), (2, H, W))
+    got_grad = jax.grad(lambda v: jnp.sum(
+        R._soft_batched_pallas(v, H, W, sigma, K) * g))(fv)
+    for b in range(2):
+        ref_grad = jax.grad(lambda v: jnp.sum(
+            R._soft_tile(pix, v, sigma, 256).reshape(H, W) * g[b]))(fv[b])
+        scale = max(float(jnp.abs(ref_grad).max()), 1.0)
+        diff = np.abs(np.asarray(got_grad[b]) - np.asarray(ref_grad))
+        strict = diff > 5e-6 * scale
+        assert strict.mean() < 2e-3, (b, strict.sum(), diff.max())
+        assert diff.max() < 5e-4 * scale, (b, diff.max())
+
+
+def test_binned_soft_overflow_falls_back(monkeypatch):
+    """Soft-silhouette bin overflow must fall back to the dense batched
+    kernels and still match the XLA scan (fwd and bwd)."""
+    import tpunerf.kernels.rasterize as R
+
+    monkeypatch.setattr(R, "_SOFT_INTERPRET", True)
+    F = 160
+    tri = jnp.array([[-0.8, -0.8], [0.8, -0.8], [0.0, 0.8]])
+    fv = (jnp.broadcast_to(tri, (F, 3, 2))
+          + 0.001 * jnp.arange(F, dtype=jnp.float32)[:, None, None])[None]
+    sigma = 1e-3
+    K = 64
+    H = W = 128
+    _, overflow = R._soft_batched_bins(fv, H, W, sigma, K,
+                                       (H * W) // (R._PSUB * R._PLANE))
+    assert bool(overflow), "test must exercise the overflow fallback"
+
+    pix = R.pixel_grid_ndc(H, W)
+    got = R._soft_batched_pallas(fv, H, W, sigma, K)
+    ref = R._soft_tile(pix, fv[0], sigma, 256).reshape(H, W)
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref),
+                               atol=5e-6)
+    g = jax.random.normal(jax.random.key(1), (1, H, W))
+    got_grad = jax.grad(lambda v: jnp.sum(
+        R._soft_batched_pallas(v, H, W, sigma, K) * g))(fv)
+    ref_grad = jax.grad(lambda v: jnp.sum(
+        R._soft_tile(pix, v, sigma, 256).reshape(H, W) * g[0]))(fv[0])
+    scale = float(jnp.abs(ref_grad).max())
+    np.testing.assert_allclose(np.asarray(got_grad[0]), np.asarray(ref_grad),
+                               atol=5e-6 * max(scale, 1.0))

@@ -57,6 +57,20 @@ class MeshLayout:
         return jax.lax.with_sharding_constraint(
             x, NamedSharding(self.mesh, P("data", "rays")))
 
+    def constrain_rays(self, x):
+        """Pin a (B, P, …) ray tensor to (data, rays); trailing dims
+        replicated."""
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(self.mesh, P("data", "rays")))
+
+    def constrain_flat(self, x):
+        """Pin a flattened (B·P·K, …) sample tensor: the leading dim is the
+        merged (data, rays) axis — the field MLP batch is sharded over every
+        chip with zero cross-chip traffic (compositing is ray-local,
+        SURVEY.md §5.7)."""
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(self.mesh, P(("data", "rays"))))
+
 
 def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
               n_data: Optional[int] = None,

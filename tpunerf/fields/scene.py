@@ -98,17 +98,17 @@ class LatentNeRFScene:
         rays = vr.generate_rays(views.theta, views.phi, views.radius, H, W,
                                 fovy=self.fovy, look_at_height=self.dy,
                                 bound=self.march.bound)
-        constrain = None
+        layout = None
         B_in, P_in = rays.origins.shape[0], rays.origins.shape[1]
         if (self.layout is not None and B_in % self.layout.n_data == 0
                 and P_in % self.layout.n_rays == 0):
-            constrain = self.layout.constrain_rays
-            rays = vr.Rays(*(constrain(x) for x in rays))
+            layout = self.layout
+            rays = vr.Rays(*(layout.constrain_rays(x) for x in rays))
         occ_grid = params["occ_grid"] if use_occupancy else None
         res = vr.render_rays(self._sigma_color_fn(params["field"]), rays, key,
                              self.march, occ_grid=occ_grid,
                              occ_cfg=self.occ_cfg, perturb=perturb,
-                             constrain=constrain)
+                             layout=layout)
         B, P, C = res.image.shape
         if white_background:
             bg = jnp.ones((B, P, C), res.image.dtype)

@@ -119,43 +119,53 @@ def render_rays(sigma_color_fn: Callable, rays: Rays, key: jax.Array,
                 cfg: MarchConfig,
                 occ_grid: Optional[jnp.ndarray] = None,
                 occ_cfg: Optional[occ_lib.OccupancyGridConfig] = None,
-                perturb: bool = True) -> RenderResult:
+                perturb: bool = True, layout=None) -> RenderResult:
     """March a batch of rays.
 
     sigma_color_fn: (x (N,3), d (N,3)) → (sigma (N,), color (N,C)) — the
     field apply, vmapped/flattened here.
+
+    layout: optional dist.mesh.MeshLayout. When set, every (B, P, …)
+    intermediate is sharding-constrained to (data, rays) and the flattened
+    field-MLP batch to the merged (data, rays) axis — marching and
+    compositing are ray-local, so the `rays` axis moves ZERO bytes across
+    chips; only the parameter-gradient psum communicates (SURVEY.md §5.7).
     """
     B, P, _ = rays.origins.shape
     S, K = cfg.num_samples, cfg.num_compacted
+    c = layout.constrain_rays if layout is not None else (lambda x: x)
+    cf = layout.constrain_flat if layout is not None else (lambda x: x)
 
     # stratified candidates over [near, far]
     u = (jnp.arange(S, dtype=jnp.float32) + 0.5) / S
     u = jnp.broadcast_to(u, (B, P, S))
     if perturb:
         u = u + (jax.random.uniform(key, (B, P, S)) - 0.5) / S
-    t = rays.near[..., None] + (rays.far - rays.near)[..., None] * u  # (B,P,S)
+    t = c(rays.near[..., None]
+          + (rays.far - rays.near)[..., None] * u)                 # (B,P,S)
     dt_full = (rays.far - rays.near) / S                               # (B,P)
 
     xyz = rays.origins[..., None, :] + rays.dirs[..., None, :] * \
         t[..., None]                                                   # (B,P,S,3)
-    xyz = jnp.clip(xyz, -cfg.bound, cfg.bound)
+    xyz = c(jnp.clip(xyz, -cfg.bound, cfg.bound))
 
     # occupancy mask + fixed-shape compaction
     if occ_grid is not None and occ_cfg is not None:
         occ = occ_lib.occupied(occ_grid, xyz, occ_cfg)                 # (B,P,S)
     else:
         occ = jnp.ones((B, P, S), bool)
-    valid, t_k, xyz_k = occ_lib.compact_gather(occ, K, t, xyz)         # (B,P,K)
+    valid, t_k, xyz_k = occ_lib.compact_gather(c(occ), K, t, xyz)      # (B,P,K)
+    valid, t_k, xyz_k = c(valid), c(t_k), c(xyz_k)
 
-    flat_x = xyz_k.reshape(-1, 3)
-    flat_d = jnp.broadcast_to(rays.dirs[..., None, :],
-                              xyz_k.shape).reshape(-1, 3)
+    flat_x = cf(xyz_k.reshape(-1, 3))
+    flat_d = cf(jnp.broadcast_to(rays.dirs[..., None, :],
+                                 xyz_k.shape).reshape(-1, 3))
     sigma, color = sigma_color_fn(flat_x, flat_d)
     C = color.shape[-1]
-    sigma = sigma.reshape(B, P, K) * cfg.density_scale
-    color = color.reshape(B, P, K, C)
+    sigma = c(sigma.reshape(B, P, K)) * cfg.density_scale
+    color = c(color.reshape(B, P, K, C))
 
     image, wsum, depth, w = composite(sigma, color,
                                       dt_full[..., None], valid, t_k)
-    return RenderResult(image=image, weights_sum=wsum, depth=depth,
-                        weights=w, sigmas=sigma, xyzs=xyz_k, valid=valid)
+    return RenderResult(image=c(image), weights_sum=c(wsum), depth=c(depth),
+                        weights=c(w), sigmas=sigma, xyzs=xyz_k, valid=valid)

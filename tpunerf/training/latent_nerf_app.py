@@ -61,6 +61,12 @@ class LatentNeRFApp:
         return cls(cfg=cfg, guidance=guidance, scene=scene, text_z=text_z)
 
     # ------------------------------------------------------------------ #
+    def set_layout(self, layout) -> None:
+        """Wire the device-mesh layout into the renderer so every (B, P, …)
+        ray tensor is sharding-constrained to (data, rays) — called by the
+        Trainer when a multi-device mesh is active (SURVEY.md §5.7)."""
+        self.scene.layout = layout
+
     def init_params(self, key: jax.Array) -> Any:
         return self.scene.init_params(key)
 
