@@ -16,6 +16,7 @@ from __future__ import annotations
 import math
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 
 
@@ -34,6 +35,25 @@ def spherical_camera_position(theta, phi, radius) -> jnp.ndarray:
     return jnp.stack([x, y, z], axis=-1)
 
 
+def _cross3(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Component-wise 3-vector cross product.
+
+    `jnp.cross` lowers through gather/roll ops; fused into large render
+    graphs on TPU that triggered an XLA miscompile (observed v5e: inf/NaN
+    camera axes for a subset of a B=8 pose batch inside the full
+    render_train program, while the identical math in a small jit was
+    correct). Plain arithmetic fuses cleanly and sidesteps it."""
+    ax, ay, az = a[..., 0], a[..., 1], a[..., 2]
+    bx, by, bz = b[..., 0], b[..., 1], b[..., 2]
+    return jnp.stack([ay * bz - az * by,
+                      az * bx - ax * bz,
+                      ax * by - ay * bx], axis=-1)
+
+
+def _normalize(v: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    return v * jax.lax.rsqrt(jnp.sum(v * v, axis=-1, keepdims=True) + eps)
+
+
 def look_at_transform(camera_position: jnp.ndarray,
                       look_at: jnp.ndarray,
                       up: jnp.ndarray) -> jnp.ndarray:
@@ -41,17 +61,17 @@ def look_at_transform(camera_position: jnp.ndarray,
 
     Applied as ``[p, 1] @ M`` (kaolin `generate_transformation_matrix`
     semantics, used at reference render.py:30). The camera z-axis points from
-    `look_at` toward `camera_position` (camera faces −z).
+    `look_at` toward `camera_position` (camera faces −z). The ε in the axis
+    normalizations keeps near-overhead poses (up ∥ z, θ→0 — reachable, the
+    sampler's theta_range starts at 0) finite instead of NaN.
     """
     camera_position = jnp.asarray(camera_position, jnp.float32)
     look_at = jnp.broadcast_to(jnp.asarray(look_at, jnp.float32), camera_position.shape)
     up = jnp.broadcast_to(jnp.asarray(up, jnp.float32), camera_position.shape)
 
-    z_axis = camera_position - look_at
-    z_axis = z_axis / jnp.linalg.norm(z_axis, axis=-1, keepdims=True)
-    x_axis = jnp.cross(up, z_axis)
-    x_axis = x_axis / jnp.linalg.norm(x_axis, axis=-1, keepdims=True)
-    y_axis = jnp.cross(z_axis, x_axis)
+    z_axis = _normalize(camera_position - look_at)
+    x_axis = _normalize(_cross3(up, z_axis))
+    y_axis = _cross3(z_axis, x_axis)
 
     rot = jnp.stack([x_axis, y_axis, z_axis], axis=-1)          # (..., 3, 3)
     trans = -jnp.einsum("...i,...ij->...j", camera_position, rot)  # (..., 3)
@@ -100,10 +120,13 @@ def perspective_project(vertices_camera: jnp.ndarray,
 
 
 def face_normals(face_vertices: jnp.ndarray, unit: bool = True) -> jnp.ndarray:
-    """Normals of (..., F, 3, 3) face vertices → (..., F, 3)."""
+    """Normals of (..., F, 3, 3) face vertices → (..., F, 3).
+
+    Uses the arithmetic `_cross3` (not `jnp.cross`) — see its docstring for
+    the TPU fusion-miscompile this avoids."""
     e1 = face_vertices[..., 1, :] - face_vertices[..., 0, :]
     e2 = face_vertices[..., 2, :] - face_vertices[..., 0, :]
-    n = jnp.cross(e1, e2)
+    n = _cross3(e1, e2)
     if unit:
         n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
     return n

@@ -53,15 +53,15 @@ class MeshLayout:
         """(B, P, ...) flat ray tensors → batch over data, rays over rays."""
         return NamedSharding(self.mesh, P("data", "rays"))
 
-    def constrain_image(self, x):
+    def constrain_rays(self, x):
+        """Pin a (B, P, …) ray tensor — or a (B, H, …) image whose rows are
+        the ray axis — to (data, rays); trailing dims replicated."""
         return jax.lax.with_sharding_constraint(
             x, NamedSharding(self.mesh, P("data", "rays")))
 
-    def constrain_rays(self, x):
-        """Pin a (B, P, …) ray tensor to (data, rays); trailing dims
-        replicated."""
-        return jax.lax.with_sharding_constraint(
-            x, NamedSharding(self.mesh, P("data", "rays")))
+    # same (data, rays) constraint; one implementation so the two call
+    # sites cannot drift (ADVICE r2)
+    constrain_image = constrain_rays
 
     def constrain_flat(self, x):
         """Pin a flattened (B·P·K, …) sample tensor: the leading dim is the

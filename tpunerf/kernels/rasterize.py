@@ -269,15 +269,20 @@ _BIN_MIN_PIXELS = 128 * 128  # binning engages at ≥128² renders
 
 def _band_ranges(height: int, width: int, nb: int):
     """Static per-band pixel-center y-ranges (ylo, yhi) for nb blocks of
-    1024 row-major pixels."""
+    1024 row-major pixels.
+
+    The boundary rows are evaluated with the SAME f32 op sequence as
+    pixel_grid_ndc (index into the per-row ys array) so a face whose bbox-y
+    extreme lands exactly on a band-boundary pixel-center cannot be dropped
+    by a 1-ulp f64→f32 rounding difference — the binned selection must agree
+    with the dense path bit-for-bit at margin 0 (ADVICE r2)."""
     import numpy as np
     blk = _PSUB * _PLANE
     b = np.arange(nb)
     r0 = (b * blk) // width
     r1 = np.minimum(((b + 1) * blk - 1) // width, height - 1)
-    y_of = lambda r: 1.0 - (r + 0.5) / height * 2.0  # noqa: E731
-    return (jnp.asarray(y_of(r1), jnp.float32),
-            jnp.asarray(y_of(r0), jnp.float32))
+    ys = 1.0 - (jnp.arange(height, dtype=jnp.float32) + 0.5) / height * 2.0
+    return ys[jnp.asarray(r1)], ys[jnp.asarray(r0)]
 
 
 def _bin_faces(fv_img: jnp.ndarray, valid: jnp.ndarray, ylo: jnp.ndarray,
@@ -640,6 +645,12 @@ def _soft_pix_blocks(pix, *flat, pad_value: float = 5.0):
 # faces with boundary distance d to a band satisfy exp(−d²/σ) < 1e-12 when
 # d > √(27.7·σ); beyond that margin a face cannot contribute to the band's
 # probability or gradient above fp32 noise, so the bin can drop it.
+# Gradient bound: |∂p/∂d| = (2d/σ)·exp(−d²/σ), so at the margin the dropped
+# gradient tail is ≤ 2√(27.7/σ)·1e-12 ≈ 1e-9·σ^(−1/2) (~1e-7 at σ=1e-4) —
+# the binned VJP approximates the dense VJP to that bound. If σ shrinks, the
+# margin shrinks as √σ while the tail grows as σ^(−1/2): at σ=1e-6 the tail
+# is ~1e-6, still below the test tolerances, but re-derive before going
+# lower (ADVICE r2).
 _SOFT_TAIL = 27.7
 
 

@@ -51,7 +51,9 @@ def compute_vertex_normals(vertices: jnp.ndarray, faces: jnp.ndarray
     (reference mesh render.py:57-105, a torch scatter_add) — here a
     `segment_sum`, the XLA-native scatter-add."""
     fv = cam.index_vertices_by_faces(vertices, faces)      # (F, 3, 3)
-    fn = jnp.cross(fv[:, 1] - fv[:, 0], fv[:, 2] - fv[:, 0])  # area-weighted
+    # area-weighted; arithmetic cross (camera._cross3) — see its docstring
+    # for the TPU fusion miscompile jnp.cross can trigger
+    fn = cam._cross3(fv[:, 1] - fv[:, 0], fv[:, 2] - fv[:, 0])
     V = vertices.shape[0]
     flat_idx = faces.reshape(-1)
     flat_n = jnp.repeat(fn, 3, axis=0)
