@@ -11,14 +11,22 @@ Prints one JSON line: {"devices": [...], "steps_per_s": [...],
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
 import optax
 
+# the axon TPU plugin registers itself in sitecustomize and can override a
+# JAX_PLATFORMS=cpu env request (see tests/conftest.py); honor the env
+# explicitly so virtual-device runs land on CPU (same guard as
+# __graft_entry__.py)
+if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 
-def measure(n_devices: int, iters: int = 8) -> float:
+
+def measure(n_devices: int, iters: int = 8, n_rays: int = 1) -> float:
     import pathlib
     import tempfile
 
@@ -28,21 +36,27 @@ def measure(n_devices: int, iters: int = 8) -> float:
                                          RenderConfig, TrainConfig)
     from tpunerf.training.latent_nerf_app import LatentNeRFApp
 
+    n_data = n_devices // n_rays
+    assert n_data * n_rays == n_devices
     cfg = TrainConfig(
         log=LogConfig(exp_name="scale",
                       exp_root=pathlib.Path(tempfile.mkdtemp())),
         render=RenderConfig(train_grid_size=64, num_samples_per_ray=128,
-                            batch_size=n_devices),
+                            batch_size=n_data),
         optim=OptimConfig(iters=1, seed=0),
         guide=GuideConfig(text="bench", tiny_diffusion=True))
     app = LatentNeRFApp.create(cfg)
-    layout = make_mesh(jax.devices()[:n_devices], n_data=n_devices, n_rays=1)
+    layout = make_mesh(jax.devices()[:n_devices], n_data=n_data,
+                       n_rays=n_rays)
+    # wire the in-render (data, rays) constraints; without this a rays>1
+    # factorization would shard nothing (VERDICT r2 task 1)
+    app.set_layout(layout)
 
     key = jax.random.key(0)
     params = jax.device_put(app.init_params(key), layout.replicated())
     tx = app.make_optimizer()
     opt_state = jax.device_put(tx.init(params), layout.replicated())
-    views = jax.device_put(rand_poses(key, n_devices, ViewSamplerConfig()),
+    views = jax.device_put(rand_poses(key, n_data, ViewSamplerConfig()),
                            layout.views())
 
     @jax.jit
@@ -69,12 +83,21 @@ def main() -> None:
     # batch scales with devices, so perfect scaling keeps the step rate
     # constant: efficiency = step_rate(N) / step_rate(1)
     eff = (results[n] / results[1]) if n > 1 else 1.0
-    print(json.dumps({
+    out = {
         "devices": sizes,
         "steps_per_s": [round(results[s], 3) for s in sizes],
         "views_per_s": [round(results[s] * s, 3) for s in sizes],
         "efficiency": round(eff, 3),
-    }))
+    }
+    if n >= 2 and n % 2 == 0:
+        # rays-axis factorization of the same N devices: (N/2 data × 2 rays)
+        # with the in-render constraints wired — batch is N/2 views, each
+        # frame's pixels split over 2 chips (VERDICT r2 task 1c)
+        r2 = measure(n, n_rays=2)
+        out["rays2_mesh"] = [n // 2, 2]
+        out["rays2_steps_per_s"] = round(r2, 3)
+        out["rays2_views_per_s"] = round(r2 * (n // 2), 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

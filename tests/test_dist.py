@@ -88,6 +88,100 @@ def test_sharded_equals_single_device_loss(layout, tmp_path):
                                rtol=1e-4)
 
 
+def _tiny_nerf_app(tmp_path, batch_size=4, rays_axis=1):
+    from tpunerf.training.config import (DistConfig, GuideConfig, LogConfig,
+                                         OptimConfig, RenderConfig,
+                                         TrainConfig)
+    from tpunerf.training.latent_nerf_app import LatentNeRFApp
+
+    cfg = TrainConfig(
+        log=LogConfig(exp_name="rays", exp_root=tmp_path),
+        render=RenderConfig(train_grid_size=16, num_samples_per_ray=16,
+                            batch_size=batch_size),
+        optim=OptimConfig(iters=1, seed=0),
+        guide=GuideConfig(text="x", tiny_diffusion=True),
+        dist=DistConfig(rays_axis=rays_axis))
+    return cfg, LatentNeRFApp.create(cfg)
+
+
+def test_rays_sharded_loss_matches_unsharded(layout, tmp_path):
+    """The flagship rays axis: with the layout WIRED (set_layout), the
+    (data=4, rays=2) sharded loss must equal the unsharded loss — the
+    in-render constrain_rays/constrain_flat constraints change placement,
+    never values (VERDICT r2 task 1)."""
+    _, app = _tiny_nerf_app(tmp_path)
+    key = jax.random.key(0)
+    params = app.init_params(key)
+    views = rand_poses(key, 4, ViewSamplerConfig())
+    loss_single = float(app.loss_fn(params, views, key, jnp.asarray(0))[0])
+
+    app.set_layout(layout)          # rays axis now live inside the render
+    loss_sharded = float(jax.jit(
+        lambda p, v: app.loss_fn(p, v, key, jnp.asarray(0))[0])(
+        shard_params_replicated(params, layout), shard_views(views, layout)))
+    np.testing.assert_allclose(loss_single, loss_sharded, rtol=1e-4)
+
+
+def test_rays_axis_shards_in_render_intermediates(layout):
+    """Assert the rays axis actually shards the marching tensors: probe the
+    flattened field-MLP batch and a (B, P) ray tensor inside the jitted
+    render via jax.debug.inspect_array_sharding."""
+    from tpunerf.fields import volume_render as vr
+
+    B, H, W, S = 4, 16, 16, 16
+    rays = vr.generate_rays(jnp.linspace(0.6, 1.2, B),
+                            jnp.linspace(0.0, 3.0, B),
+                            jnp.full((B,), 1.5), H, W, fovy=np.pi / 3)
+    cfg = vr.MarchConfig(num_samples=S, num_compacted=8)
+    flat_specs, ray_specs = [], []
+
+    def sigma_color(x, d):
+        jax.debug.inspect_array_sharding(
+            x, callback=lambda s: flat_specs.append(s.spec))
+        return jnp.ones(x.shape[:-1]), jnp.ones((*x.shape[:-1], 4))
+
+    def render(rays_in):
+        rays_in = vr.Rays(*(layout.constrain_rays(r) for r in rays_in))
+        res = vr.render_rays(sigma_color, rays_in, jax.random.key(0), cfg,
+                             perturb=False, layout=layout)
+        jax.debug.inspect_array_sharding(
+            res.weights_sum, callback=lambda s: ray_specs.append(s.spec))
+        return res.image
+
+    img = jax.jit(render)(jax.device_put(rays, layout.rays()))
+    jax.block_until_ready(img)
+    assert flat_specs and flat_specs[0] == P(("data", "rays"))
+    assert ray_specs and ray_specs[0] == P("data", "rays")
+
+
+def test_trainer_wires_rays_axis(tmp_path):
+    """Trainer with dist.rays_axis=2 on 8 devices must build the (4, 2) mesh,
+    call set_layout, and run a finite step (regression: no test ever set
+    dist.rays_axis before r3)."""
+    from tpunerf.training.config import (DistConfig, GuideConfig, LogConfig,
+                                         OptimConfig, RenderConfig,
+                                         TrainConfig)
+    from tpunerf.training.latent_nerf_app import LatentNeRFApp
+    from tpunerf.training.trainer import Trainer
+
+    cfg = TrainConfig(
+        log=LogConfig(exp_name="rw", exp_root=tmp_path, save_interval=100,
+                      eval_size=1, full_eval_size=1, vis_train_prob=0.0,
+                      save_mesh=False),
+        render=RenderConfig(train_grid_size=16, num_samples_per_ray=16,
+                            eval_grid_size=16, batch_size=4),
+        optim=OptimConfig(iters=1, seed=0),
+        guide=GuideConfig(text="x", tiny_diffusion=True),
+        dist=DistConfig(rays_axis=2))
+    app = LatentNeRFApp.create(cfg)
+    t = Trainer(cfg, app)
+    assert t.layout is not None and t.layout.n_rays == 2 \
+        and t.layout.n_data == 4
+    assert app.scene.layout is t.layout    # set_layout was called
+    t.train()
+    assert t.train_step_idx == 1
+
+
 def test_trainer_dp_resume_restores_replication(tmp_path):
     """Resume under auto data-parallel must re-place restored params with the
     replicated sharding (regression: a plain asarray load lands on one
