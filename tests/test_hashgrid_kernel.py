@@ -65,3 +65,34 @@ def test_pallas_bwd_kernel_matches_autodiff_interpret(cfg):
         dt_fast = hg._hash_bwd_pallas(x, g, cfg)
     np.testing.assert_allclose(np.asarray(dt_fast), np.asarray(dt_ref),
                                atol=2e-2 * float(jnp.abs(dt_ref).max()))
+
+
+def test_pallas_packed_fwd_matches_ref_interpret(cfg):
+    """The F=2 packed-pair forward kernel (interpret mode on CPU) vs the jnp
+    reference evaluated on the bf16-rounded table — the kernel's declared
+    feature precision (Instant-NGP trains fp16 tables; see
+    kernels/hashgrid.py:_pack_table_pairs)."""
+    from jax.experimental.pallas import tpu as pltpu
+    table = init_hash_table(jax.random.key(0), cfg) * 100
+    x = jax.random.uniform(jax.random.key(1), (777, 3))
+    with pltpu.force_tpu_interpret_mode():
+        out = hg._hash_encode_pallas(x, table, cfg)
+    tround = table.astype(jnp.bfloat16).astype(jnp.float32)
+    ref = hash_encode(x, tround, cfg)
+    scale = float(jnp.abs(ref).max())
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-6 * scale)
+
+
+def test_pack_table_pairs_roundtrip(cfg):
+    """Packing two bf16 features into one f32 container must be exactly
+    invertible (high 16 bits = f0, low<<16 = f1)."""
+    table = init_hash_table(jax.random.key(0), cfg) * 100
+    packed = hg._pack_table_pairs(table)
+    u = jax.lax.bitcast_convert_type(packed, jnp.uint32)
+    f0 = jax.lax.bitcast_convert_type(
+        jnp.bitwise_and(u, jnp.uint32(0xFFFF0000)), jnp.float32)
+    f1 = jax.lax.bitcast_convert_type(jnp.left_shift(u, 16), jnp.float32)
+    tb = table.astype(jnp.bfloat16).astype(jnp.float32)
+    np.testing.assert_array_equal(np.asarray(f0), np.asarray(tb[..., 0]))
+    np.testing.assert_array_equal(np.asarray(f1), np.asarray(tb[..., 1]))

@@ -15,8 +15,21 @@ Strategy:
   the window row, lane-gather every corner's local index, select-accumulate
   where the index falls in the window.
 
-Measured (v5e, L=12 T=2048 F=2, 262k points): fwd ≈ 5 ms, bwd ≈ 4.7 ms —
-vs 14.6 ms/54 ms for the XLA-gather/scatter formulations they replace.
+Measured (v5e, L=12 T=2048 F=2, 262k points): fwd ≈ 2.1 ms with the F=2
+packed-pair kernel (r3; 5.1 ms unpacked, kept for F≠2), bwd ≈ 4.4 ms — vs
+14.6 ms/54 ms for the XLA-gather/scatter formulations they replace. The
+packed forward stores each slot's two features as a bf16 pair in one f32
+lane (`_pack_table_pairs`): the window sweep then needs one gather + one
+bitwise select per corner-window instead of two gathers + weighted
+accumulate, and the trilinear weighting happens once per corner after a
+2-bit-op unpack. Feature precision becomes bf16 (Instant-NGP trains fp16
+tables); the backward is exact f32 w.r.t. the unrounded table
+(straight-through the rounding, like fp16-table torch-ngp).
+
+The backward sits at the MXU shape floor for this decomposition: per
+corner the (128×CH)@(CH×F·LO) contraction has N = F·LO = 32, a 4×-padded
+MXU N-dim — ~206 useful GFLOP/frame → ~4.4 ms at 25% N-utilization. Fixing
+it needs a different scatter factorization, not scheduling.
 
 Backward (table gradient) is a second Pallas kernel: per level, the
 scatter-add dL/dtable[idx] += w·g is expressed as a one-hot matmul on the
@@ -50,6 +63,93 @@ def _fwd_sub(cfg: HashGridConfig) -> int:
     optimum), T=4096 → 64, T=8192 → 32."""
     n_windows = cfg.table_size // _WINDOW
     return max(8, min(128, 2048 // n_windows))
+
+
+def _pack_table_pairs(table: jnp.ndarray) -> jnp.ndarray:
+    """(L, T, 2) f32 → (L, T) f32 whose bits hold the two features as a
+    bf16 pair (f0 in the high 16 bits, f1 low). One f32 lane per slot
+    halves the gather/select count of the window sweep; bf16 feature
+    precision matches Instant-NGP's fp16-table training regime."""
+    tb = table.astype(jnp.bfloat16)
+    u0 = jax.lax.bitcast_convert_type(tb[..., 0], jnp.uint16).astype(
+        jnp.uint32)
+    u1 = jax.lax.bitcast_convert_type(tb[..., 1], jnp.uint16).astype(
+        jnp.uint32)
+    return jax.lax.bitcast_convert_type((u0 << 16) | u1, jnp.float32)
+
+
+def _kernel_packed(res_ref, dense_ref, xp_ref, yp_ref, zp_ref, ptab_ref,
+                   out_ref, *, cfg: HashGridConfig, sub: int):
+    """F=2 fast path. Grid: (point_tiles, L). Blocks: coords (SUB, 128);
+    packed table (L, T/128, 128) f32-container windows (3-D so the traced
+    `level` indexes a leading non-tiled dim — Mosaic cannot dynamically
+    load at an unaligned sublane offset); out (2, SUB, 128).
+
+    Each corner's table value is selected (bitwise — valid on the packed
+    container) from the one window its index falls in: per window the sweep
+    is ONE broadcast + 8·(gather + compare-select) instead of the unpacked
+    kernel's two broadcasts + 8·(compare-select + 2 gathers + 2 FMAs); the
+    trilinear weighting happens once per corner in the epilogue after
+    unpacking the bf16 pair with two bit-ops (measured v5e, 262k pts:
+    5.1 → 3.2 ms)."""
+    level = pl.program_id(1)
+    xs, ys, zs = xp_ref[:], yp_ref[:], zp_ref[:]
+    res_arr = res_ref[level]
+    resf = res_arr.astype(jnp.float32)
+    is_dense = dense_ref[level] > 0
+
+    xl, yl, zl = xs * resf, ys * resf, zs * resf
+    x0 = jnp.clip(jnp.floor(xl), 0, resf)
+    y0 = jnp.clip(jnp.floor(yl), 0, resf)
+    z0 = jnp.clip(jnp.floor(zl), 0, resf)
+    wx, wy, wz = xl - x0, yl - y0, zl - z0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    z0i = z0.astype(jnp.int32)
+
+    T = cfg.table_size
+    n_windows = T // _WINDOW
+
+    idxs, wgts = [], []
+    for corner in range(8):
+        dx, dy, dz = (corner >> 2) & 1, (corner >> 1) & 1, corner & 1
+        ix = jnp.minimum(x0i + dx, res_arr)
+        iy = jnp.minimum(y0i + dy, res_arr)
+        iz = jnp.minimum(z0i + dz, res_arr)
+        dense_idx = (ix * (res_arr + 1) + iy) * (res_arr + 1) + iz
+        h = (ix.astype(jnp.uint32)
+             ^ (iy.astype(jnp.uint32) * jnp.uint32(_PRIMES[1]))
+             ^ (iz.astype(jnp.uint32) * jnp.uint32(_PRIMES[2])))
+        h = jnp.bitwise_and(h, jnp.uint32(T - 1)).astype(jnp.int32)
+        idxs.append(jnp.where(is_dense, dense_idx, h))
+        cwx = wx if dx else 1.0 - wx
+        cwy = wy if dy else 1.0 - wy
+        cwz = wz if dz else 1.0 - wz
+        wgts.append(cwx * cwy * cwz)
+
+    wids = [jnp.right_shift(i, 7) for i in idxs]
+    locals_ = [jnp.bitwise_and(i, _WINDOW - 1) for i in idxs]
+
+    # bit pattern 0.0 == packed (0, 0) — a safe initial container
+    collected = [jnp.zeros((sub, _WINDOW), jnp.float32) for _ in range(8)]
+    for w in range(n_windows):
+        row = jnp.broadcast_to(ptab_ref[level, pl.ds(w, 1), :],
+                               (sub, _WINDOW))
+        for c in range(8):
+            g = jnp.take_along_axis(row, locals_[c], axis=1)
+            collected[c] = jnp.where(wids[c] == w, g, collected[c])
+
+    acc0 = jnp.zeros((sub, _WINDOW), jnp.float32)
+    acc1 = jnp.zeros((sub, _WINDOW), jnp.float32)
+    hi_mask = jnp.uint32(0xFFFF0000)
+    for c in range(8):
+        u = pltpu.bitcast(collected[c], jnp.uint32)
+        f0 = pltpu.bitcast(jnp.bitwise_and(u, hi_mask), jnp.float32)
+        f1 = pltpu.bitcast(jnp.left_shift(u, 16), jnp.float32)
+        acc0 = acc0 + wgts[c] * f0
+        acc1 = acc1 + wgts[c] * f1
+    out_ref[0] = acc0
+    out_ref[1] = acc1
 
 
 def _kernel(res_ref, dense_ref, xp_ref, yp_ref, zp_ref, table_ref, out_ref, *,
@@ -137,7 +237,14 @@ def _hash_encode_pallas(x: jnp.ndarray, table: jnp.ndarray,
     dense_arr = jnp.asarray(
         [(int(r) + 1) ** 3 <= cfg.table_size for r in res_np], jnp.int32)
 
-    kern = functools.partial(_kernel, cfg=cfg, sub=sub)
+    packed = cfg.n_features_per_level == 2
+    if packed:
+        kern = functools.partial(_kernel_packed, cfg=cfg, sub=sub)
+        tab_in = _pack_table_pairs(table).reshape(
+            cfg.n_levels, cfg.table_size // _WINDOW, _WINDOW)
+    else:
+        kern = functools.partial(_kernel, cfg=cfg, sub=sub)
+        tab_in = table
     out = pl.pallas_call(
         kern,
         grid=(n_tiles, cfg.n_levels),
@@ -163,7 +270,7 @@ def _hash_encode_pallas(x: jnp.ndarray, table: jnp.ndarray,
         # too tight for T ≥ 4096 even at reduced tile sizes
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(res_arr, dense_arr, xs, ys, zs, table)
+    )(res_arr, dense_arr, xs, ys, zs, tab_in)
     # (L, F, rows, 128) → (N, L·F); keeping the 128-lane dim minor avoids
     # tile-padding blowup (F=2 minor would pad 64×)
     out = out.reshape(cfg.n_levels, cfg.n_features_per_level,
