@@ -58,38 +58,118 @@ def _timed_scan(step_fn, params, key, iters):
     return dt / iters
 
 
+def mesh_metrics() -> dict:
+    """Mesh-raster path timings (VERDICT r2 task 3): the numbers claimed in
+    kernels/rasterize.py comments become reproducible records here so a
+    kernel regression shows up in BENCH_r*.json. Sphere mesh (3968 faces),
+    same camera conventions as the golden tests."""
+    from tpunerf.core import camera as cam
+    from tpunerf.kernels import rasterize as rast
+    from tpunerf.meshrep.shapes import uv_sphere
+
+    mesh = uv_sphere()
+    verts = jnp.asarray(mesh.vertices) * 0.6
+    faces = jnp.asarray(mesh.faces)
+    tr = cam.camera_transform_from_view(1.0, 0.7, 1.3)
+    fv_cam, fv_img, _ = cam.prepare_vertices(
+        verts, faces, cam.perspective_projection(), tr)
+    fv_z = fv_cam[..., 2]
+    F = int(faces.shape[0])
+    feats = jax.random.normal(jax.random.key(1), (F, 3, 4))
+
+    def timed(step_fn, iters):
+        @jax.jit
+        def run(fv, key):
+            def body(carry, _):
+                key, acc = carry
+                key, sub = jax.random.split(key)
+                return (key, step_fn(fv, acc)), None
+
+            (_, acc), _ = jax.lax.scan(
+                body, (key, jnp.float32(0.0)), None, length=iters)
+            return acc
+
+        key = jax.random.key(0)
+        acc = float(run(fv_img, key))
+        assert acc == acc
+        t0 = time.perf_counter()
+        float(run(fv_img, jax.random.fold_in(key, 1)))
+        return (time.perf_counter() - t0) / iters
+
+    def hard_fwd_bwd(hw):
+        def step(fv, acc):
+            def loss(fv):
+                img, _ = rast.rasterize(hw, hw, fv_z[None], fv[None],
+                                        feats[None])
+                return jnp.sum(img ** 2)
+
+            l, g = jax.value_and_grad(loss)(fv + acc * 1e-20)
+            return l + 1e-20 * jnp.sum(jnp.abs(g))
+        return step
+
+    def soft_fwd_bwd(hw):
+        def step(fv, acc):
+            def loss(fv):
+                return jnp.sum(
+                    rast.soft_silhouette(hw, hw, fv[None]) ** 2)
+
+            l, g = jax.value_and_grad(loss)(fv + acc * 1e-20)
+            return l + 1e-20 * jnp.sum(jnp.abs(g))
+        return step
+
+    return {
+        "mesh_faces": F,
+        "rasterize_64_fwd_bwd_ms": round(
+            timed(hard_fwd_bwd(64), 100) * 1e3, 3),
+        "rasterize_512_fwd_bwd_ms": round(
+            timed(hard_fwd_bwd(512), 50) * 1e3, 3),
+        "soft_silhouette_512_fwd_bwd_ms": round(
+            timed(soft_fwd_bwd(512), 30) * 1e3, 3),
+    }
+
+
 def main() -> None:
     from tpunerf.core.views import ViewSamplerConfig, rand_poses
     from tpunerf.fields.scene import LatentNeRFScene
 
     H = W = 64
-    B = 1
     scene = LatentNeRFScene.create(nerf_type="latent", tiny=False,
                                    num_samples=128, num_compacted=64,
                                    train_grid_size=H)
     key = jax.random.key(0)
     params = scene.init_params(key)
-    views = rand_poses(key, B, ViewSamplerConfig())
 
     # warm the occupancy grid so pruning reflects steady-state training
     upd = jax.jit(scene.update_occupancy)
     for i in range(4):
         params = upd(params, jax.random.fold_in(key, i))
 
-    def render_step(p, sub, acc):
-        def loss_fn(p):
-            out = scene.render_train(p, views, sub, jnp.asarray(0))
-            return jnp.sum(out["image"] ** 2) + out["sparsity_loss"]
+    def measure_rays(B, iters):
+        views = rand_poses(key, B, ViewSamplerConfig())
 
-        loss, grads = jax.value_and_grad(loss_fn)(p)
-        # consume the grads so backward can't be dead-code-eliminated;
-        # chain acc so iterations serialize
-        gsum = sum(jnp.sum(jnp.abs(g)) for g in jax.tree_util.tree_leaves(
-            grads))
-        return loss + 1e-20 * gsum + 1e-20 * acc
+        def render_step(p, sub, acc):
+            def loss_fn(p):
+                out = scene.render_train(p, views, sub, jnp.asarray(0))
+                return jnp.sum(out["image"] ** 2) + out["sparsity_loss"]
 
-    sec = _timed_scan(render_step, params, key, iters=100)
-    rays_per_s = B * H * W / sec
+            loss, grads = jax.value_and_grad(loss_fn)(p)
+            # consume the grads so backward can't be dead-code-eliminated;
+            # chain acc so iterations serialize
+            gsum = sum(jnp.sum(jnp.abs(g))
+                       for g in jax.tree_util.tree_leaves(grads))
+            return loss + 1e-20 * gsum + 1e-20 * acc
+
+        sec = _timed_scan(render_step, params, key, iters=iters)
+        return B * H * W / sec
+
+    # batch-1 rate (the r01/r02 measurement) + batched B=8: camera batching
+    # amortizes per-op dispatch/fusion overheads and fills the chip — this
+    # is the achievable per-chip rate the BASELINE targets (VERDICT r2
+    # task 2: the b1 number under-reports the chip)
+    rays_per_s_b1 = measure_rays(1, 100)
+    rays_per_s = measure_rays(8, 25)
+    B = 1   # SDS secondary metric stays batch-1 (r01/r02-comparable)
+    views = rand_poses(key, B, ViewSamplerConfig())
 
     # ---- secondary metric: full SDS train-step iters/s ----------------
     # render fwd+bwd + full-size (859M-param) SD-v1 UNet CFG pass with the
@@ -146,13 +226,20 @@ def main() -> None:
     out = {"metric": "latent_nerf_rays_per_s_fwd_bwd_64x64",
            "value": round(rays_per_s, 1), "unit": "rays/s",
            "vs_baseline": round(vs_baseline, 3),
-           # method record: per-iter time amortizes a fixed ~24 ms dispatch
-           # cost, so the iteration count is part of the measurement —
-           # r01 was taken at 30 iters, r02+ at 100 (ADVICE.md)
-           "scan_iters": 100}
+           # method record: r01/r02 measured batch=1; r03+ headline is
+           # batch=8 (8 cameras per step — fills the chip; the b1 rate is
+           # kept alongside for continuity). Per-iter time amortizes a
+           # fixed ~24 ms dispatch cost, so iteration counts are part of
+           # the measurement: b1 at 100 iters, b8 at 25.
+           "batch": 8, "scan_iters": 25,
+           "rays_per_s_b1": round(rays_per_s_b1, 1), "b1_scan_iters": 100}
     if sds_iters_per_s is not None:
         out["sds_iters_per_s_full_unet"] = round(sds_iters_per_s, 2)
         out["sds_scan_iters"] = 30
+    try:
+        out.update(mesh_metrics())
+    except Exception:
+        pass
     print(json.dumps(out))
 
 
