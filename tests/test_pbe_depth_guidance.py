@@ -75,6 +75,107 @@ def test_pbe_latent_forward_and_full_inpaint(pbe):
     assert float(res.min()) >= 0.0 and float(res.max()) <= 1.0
 
 
+def _tiny_clip_fn():
+    cfg = CLIPVisionConfig.tiny()
+    model = CLIPImageEmbedder(cfg)
+    px = jnp.zeros((1, cfg.image_size, cfg.image_size, 3))
+    params = model.init(jax.random.key(9), px)
+    return (lambda p: model.apply(params, p)), cfg.image_size
+
+
+def test_pbe_use_clip_branch(pbe):
+    """The t ≤ 0.4·T CLIP branch (reference pbe :658-664): with the timestep
+    window pinned below 0.4 the loss must be the CLIP loss (finite,
+    differentiable, different from the SDS identity-loss); pinned above 0.4
+    the SDS branch must fire."""
+    clip_fn, clip_size = _tiny_clip_fn()
+    ref = jax.random.uniform(jax.random.key(1), (1, 64, 64, 3))
+    lat = jax.random.normal(jax.random.key(2), (1, 16, 16, 4))
+    mask = jnp.zeros((1, 16, 16, 1)).at[:, 4:12, 4:12].set(1.0)
+    ex = jax.random.uniform(jax.random.key(3), (1, 32, 32, 3))
+    emb = pbe.encode_exemplar(ex)
+
+    kw = dict(use_clip=True, clip_embed_fn=clip_fn, ref_image01=ref,
+              clip_image_size=clip_size)
+    pbe_lo = PaintByExampleGuidance.create(jax.random.key(0), tiny=True,
+                                           min_step=0.25, max_step=0.35)
+    loss_clip, g_clip = jax.value_and_grad(
+        lambda l: pbe_lo.train_step_loss(jax.random.key(4), l, mask, emb,
+                                         **kw))(lat)
+    assert np.isfinite(float(loss_clip))
+    assert np.isfinite(np.asarray(g_clip)).all()
+    assert np.abs(np.asarray(g_clip)).max() > 0
+    # pure-CLIP branch: loss is 10·(−cos) ∈ [−10, 10]
+    assert -10.0 <= float(loss_clip) <= 10.0
+
+    pbe_hi = PaintByExampleGuidance.create(jax.random.key(0), tiny=True,
+                                           min_step=0.45, max_step=0.55)
+    loss_sds, g_sds = jax.value_and_grad(
+        lambda l: pbe_hi.train_step_loss(jax.random.key(4), l, mask, emb,
+                                         **kw))(lat)
+    assert np.isfinite(float(loss_sds))
+    assert np.abs(np.asarray(g_sds)).max() > 0
+    # SDS identity-loss grad is constant per-pixel stop-grad; CLIP grad is
+    # not — the two branches must differ
+    assert np.abs(np.asarray(g_sds) - np.asarray(g_clip)).max() > 1e-8
+
+
+def test_pbe_mapper_depth_matches_hf_rule():
+    from tpunerf.guidance.paint_by_example import pbe_num_mapper_blocks
+    assert pbe_num_mapper_blocks(CLIPVisionConfig.vit_l_14()) == 5
+    assert pbe_num_mapper_blocks(CLIPVisionConfig.tiny()) == 1
+
+
+def test_depth_inpaint_unet_variant():
+    """SD2-inpainting 9-ch UNet flavor (reference
+    stable_diffusion_depth.py:59-62,:211-237): constructible, used inside
+    the inpaint window of img2img_step (the output must depend on
+    masked_latents only through that window), finite."""
+    sdd = StableDiffusionDepthGuidance.create(jax.random.key(0), tiny=True,
+                                              use_inpaint=True)
+    assert sdd.inpaint_unet is not None
+    assert sdd.inpaint_unet.config.in_channels == 9
+
+    lat = jax.random.normal(jax.random.key(1), (1, 16, 16, 4)) * 0.1
+    depth = jnp.ones((1, 16, 16, 1)) * 0.5
+    emb = sdd.get_text_embeds(["x"])
+    upd = jnp.zeros((1, 16, 16, 1)).at[:, :8].set(1.0)
+    ml_a = jnp.zeros((1, 16, 16, 4))
+    ml_b = jnp.ones((1, 16, 16, 4))
+
+    def run(ml):
+        return sdd.img2img_step(jax.random.key(0), emb, lat, depth,
+                                update_mask=upd, num_inference_steps=8,
+                                strength=1.0, inpaint_lo=2, inpaint_hi=5,
+                                masked_latents=ml)
+
+    out_a, out_b = run(ml_a), run(ml_b)
+    assert np.isfinite(np.asarray(out_a)).all()
+    # different masked_latents reach the walk only via the 9-ch UNet inside
+    # the window — outputs must differ, proving the inpaint UNet executed
+    assert np.abs(np.asarray(out_a) - np.asarray(out_b)).max() > 1e-6
+
+    # window disabled (lo=hi) → masked_latents unused → identical outputs
+    def run_nowin(ml):
+        return sdd.img2img_step(jax.random.key(0), emb, lat, depth,
+                                update_mask=upd, num_inference_steps=8,
+                                strength=1.0, inpaint_lo=4, inpaint_hi=4,
+                                masked_latents=ml)
+
+    np.testing.assert_allclose(np.asarray(run_nowin(ml_a)),
+                               np.asarray(run_nowin(ml_b)), rtol=1e-6)
+
+
+def test_depth_encode_masked_inputs():
+    sdd = StableDiffusionDepthGuidance.create(jax.random.key(0), tiny=True,
+                                              use_inpaint=True)
+    img = jax.random.uniform(jax.random.key(1), (1, 64, 64, 3))
+    upd = jnp.zeros((1, 16, 16, 1)).at[:, 4:12, 4:12].set(1.0)
+    ml = sdd.encode_masked_inputs(img, upd, jax.random.key(2))
+    assert ml.shape == (1, 16, 16, 4)
+    assert np.isfinite(np.asarray(ml)).all()
+
+
 def test_approx_latent2rgb_recovers_linear_map():
     key = jax.random.key(0)
     M_true = jax.random.normal(key, (4, 3))

@@ -158,3 +158,218 @@ def test_clip_text_converter_tiny_roundtrip():
     params = weights._check_tree(converted, expected, "text")
     out = model.apply(params, jnp.zeros((1, cfg.max_length), jnp.int32))
     assert out.shape == (1, cfg.max_length, cfg.hidden_size)
+
+
+def _make_clip_vision_sd(vis, prefix="vision_model."):
+    """Synthetic HF CLIP-vision state dict (torch layouts)."""
+    rng = np.random.default_rng(2)
+    D = vis.hidden_size
+    n_pos = (vis.image_size // vis.patch_size) ** 2 + 1
+    sd = {
+        f"{prefix}embeddings.patch_embedding.weight":
+            rng.standard_normal((D, 3, vis.patch_size,
+                                 vis.patch_size)).astype(np.float32),
+        f"{prefix}embeddings.class_embedding":
+            rng.standard_normal((D,)).astype(np.float32),
+        f"{prefix}embeddings.position_embedding.weight":
+            rng.standard_normal((n_pos, D)).astype(np.float32),
+        f"{prefix}pre_layrnorm.weight": np.ones(D, np.float32),
+        f"{prefix}pre_layrnorm.bias": np.zeros(D, np.float32),
+        f"{prefix}post_layernorm.weight": np.ones(D, np.float32),
+        f"{prefix}post_layernorm.bias": np.zeros(D, np.float32),
+    }
+    for i in range(vis.num_layers):
+        b = f"{prefix}encoder.layers.{i}"
+        for ln in ("layer_norm1", "layer_norm2"):
+            sd[f"{b}.{ln}.weight"] = np.ones(D, np.float32)
+            sd[f"{b}.{ln}.bias"] = np.zeros(D, np.float32)
+        for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            sd[f"{b}.self_attn.{proj}.weight"] = rng.standard_normal(
+                (D, D)).astype(np.float32)
+            sd[f"{b}.self_attn.{proj}.bias"] = np.zeros(D, np.float32)
+        sd[f"{b}.mlp.fc1.weight"] = rng.standard_normal(
+            (vis.intermediate_size, D)).astype(np.float32)
+        sd[f"{b}.mlp.fc1.bias"] = np.zeros(vis.intermediate_size, np.float32)
+        sd[f"{b}.mlp.fc2.weight"] = rng.standard_normal(
+            (D, vis.intermediate_size)).astype(np.float32)
+        sd[f"{b}.mlp.fc2.bias"] = np.zeros(D, np.float32)
+    return sd
+
+
+def _make_vae_sd(cfg):
+    """Synthetic diffusers AutoencoderKL state dict for our tiny config."""
+    sd = {}
+    rng = np.random.default_rng(4)
+
+    def conv(key, o, i, k=3):
+        sd[f"{key}.weight"] = rng.standard_normal((o, i, k, k)).astype(
+            np.float32)
+        sd[f"{key}.bias"] = np.zeros(o, np.float32)
+
+    def dense(key, o, i):
+        sd[f"{key}.weight"] = rng.standard_normal((o, i)).astype(np.float32)
+        sd[f"{key}.bias"] = np.zeros(o, np.float32)
+
+    def norm(key, c):
+        sd[f"{key}.weight"] = np.ones(c, np.float32)
+        sd[f"{key}.bias"] = np.zeros(c, np.float32)
+
+    def resnet(p, cin, cout):
+        norm(f"{p}.norm1", cin)
+        conv(f"{p}.conv1", cout, cin)
+        norm(f"{p}.norm2", cout)
+        conv(f"{p}.conv2", cout, cout)
+        if cin != cout:
+            conv(f"{p}.conv_shortcut", cout, cin, 1)
+
+    def attn(p, c):
+        norm(f"{p}.group_norm", c)
+        for nm in ("to_q", "to_k", "to_v"):
+            dense(f"{p}.{nm}", c, c)
+        dense(f"{p}.to_out.0", c, c)
+
+    ch = cfg.block_out_channels
+    conv("encoder.conv_in", ch[0], 3)
+    cin = ch[0]
+    for i, cout in enumerate(ch):
+        for j in range(cfg.layers_per_block):
+            resnet(f"encoder.down_blocks.{i}.resnets.{j}", cin, cout)
+            cin = cout
+        if i < len(ch) - 1:
+            conv(f"encoder.down_blocks.{i}.downsamplers.0.conv", cout, cout)
+    mid = ch[-1]
+    resnet("encoder.mid_block.resnets.0", mid, mid)
+    attn("encoder.mid_block.attentions.0", mid)
+    resnet("encoder.mid_block.resnets.1", mid, mid)
+    norm("encoder.conv_norm_out", mid)
+    conv("encoder.conv_out", 2 * cfg.latent_channels, mid)
+    conv("quant_conv", 2 * cfg.latent_channels, 2 * cfg.latent_channels, 1)
+    conv("post_quant_conv", cfg.latent_channels, cfg.latent_channels, 1)
+    rev = ch[::-1]
+    conv("decoder.conv_in", rev[0], cfg.latent_channels)
+    resnet("decoder.mid_block.resnets.0", rev[0], rev[0])
+    attn("decoder.mid_block.attentions.0", rev[0])
+    resnet("decoder.mid_block.resnets.1", rev[0], rev[0])
+    cin = rev[0]
+    for i, cout in enumerate(rev):
+        for j in range(cfg.layers_per_block + 1):
+            resnet(f"decoder.up_blocks.{i}.resnets.{j}", cin, cout)
+            cin = cout
+        if i < len(rev) - 1:
+            conv(f"decoder.up_blocks.{i}.upsamplers.0.conv", cout, cout)
+    norm("decoder.conv_norm_out", rev[-1])
+    conv("decoder.conv_out", cfg.out_channels, rev[-1])
+    return sd
+
+
+def test_vae_converter_tiny_roundtrip():
+    from tpunerf.guidance.vae import AutoencoderKL, VAEConfig
+
+    cfg = VAEConfig.tiny()
+    vae = AutoencoderKL(cfg)
+    sd = _make_vae_sd(cfg)
+    expected = jax.eval_shape(
+        lambda: vae.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)),
+                         jax.random.key(0)))
+    params = weights._check_tree(weights.convert_vae(sd, cfg), expected,
+                                 "vae")
+    from tpunerf.guidance import vae as vae_lib
+    out = vae_lib.decode_latents(vae, params, jnp.zeros((1, 8, 8, 4)))
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def _make_pbe_encoder_sd(vis, proj_dim, num_blocks):
+    """Synthetic HF PaintByExampleImageEncoder state dict: `model.` CLIP
+    tower + `mapper.blocks.{i}` + final_layer_norm/proj_out/uncond_vector."""
+    rng = np.random.default_rng(3)
+    D = vis.hidden_size
+    sd = {f"model.{k}": v
+          for k, v in _make_clip_vision_sd(vis).items()}
+    for i in range(num_blocks):
+        b = f"mapper.blocks.{i}"
+        for ln in ("norm1", "norm3"):
+            sd[f"{b}.{ln}.weight"] = np.ones(D, np.float32)
+            sd[f"{b}.{ln}.bias"] = np.zeros(D, np.float32)
+        for proj in ("to_q", "to_k", "to_v"):
+            sd[f"{b}.attn1.{proj}.weight"] = rng.standard_normal(
+                (D, D)).astype(np.float32)
+            sd[f"{b}.attn1.{proj}.bias"] = np.zeros(D, np.float32)
+        sd[f"{b}.attn1.to_out.0.weight"] = rng.standard_normal(
+            (D, D)).astype(np.float32)
+        sd[f"{b}.attn1.to_out.0.bias"] = np.zeros(D, np.float32)
+        sd[f"{b}.ff.net.0.proj.weight"] = rng.standard_normal(
+            (D * 4, D)).astype(np.float32)
+        sd[f"{b}.ff.net.0.proj.bias"] = np.zeros(D * 4, np.float32)
+        sd[f"{b}.ff.net.2.weight"] = rng.standard_normal(
+            (D, D * 4)).astype(np.float32)
+        sd[f"{b}.ff.net.2.bias"] = np.zeros(D, np.float32)
+    sd["final_layer_norm.weight"] = np.ones(D, np.float32)
+    sd["final_layer_norm.bias"] = np.zeros(D, np.float32)
+    sd["proj_out.weight"] = rng.standard_normal(
+        (proj_dim, D)).astype(np.float32)
+    sd["proj_out.bias"] = np.zeros(proj_dim, np.float32)
+    sd["uncond_vector"] = rng.standard_normal(
+        (1, 1, proj_dim)).astype(np.float32)
+    return sd
+
+
+def test_pbe_image_encoder_converter_tiny_roundtrip():
+    """PbE exemplar-encoder converter (VERDICT r2 task 4): every leaf of the
+    HF layout maps onto the flax module, shape-checked, and runs."""
+    from tpunerf.guidance.clip_vision import CLIPVisionConfig
+    from tpunerf.guidance.paint_by_example import (
+        PaintByExampleImageEncoder, pbe_num_mapper_blocks)
+
+    vis = CLIPVisionConfig.tiny()
+    enc = PaintByExampleImageEncoder(vis, proj_dim=32)
+    nb = pbe_num_mapper_blocks(vis)
+    sd = _make_pbe_encoder_sd(vis, 32, nb)
+    converted = weights.convert_pbe_image_encoder(sd, vis, nb)
+    expected = jax.eval_shape(
+        lambda: enc.init(jax.random.key(0),
+                         jnp.zeros((1, vis.image_size, vis.image_size, 3))))
+    params = weights._check_tree(converted, expected, "image_encoder")
+    out = enc.apply(params,
+                    jnp.zeros((2, vis.image_size, vis.image_size, 3)))
+    assert out.shape == (2, 1, 32)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_pbe_create_loads_model_dir(tmp_path):
+    """PaintByExampleGuidance.create(model_dir=...) must load a
+    diffusers-layout checkpoint directory (unet/vae/image_encoder .bin)."""
+    import torch
+
+    from tpunerf.guidance.paint_by_example import (
+        PaintByExampleGuidance, PaintByExampleImageEncoder,
+        pbe_num_mapper_blocks)
+    from tpunerf.guidance.clip_vision import CLIPVisionConfig
+    from tpunerf.guidance.vae import VAEConfig
+
+    ucfg = UNetConfig.tiny(in_channels=9, cross_attention_dim=32)
+    vcfg = VAEConfig.tiny()
+    vis = CLIPVisionConfig.tiny()
+
+    def dump(subdir, name, sd):
+        d = tmp_path / subdir
+        d.mkdir(parents=True, exist_ok=True)
+        torch.save({k: torch.from_numpy(np.ascontiguousarray(v))
+                    for k, v in sd.items()}, d / f"{name}.bin")
+
+    dump("unet", "diffusion_pytorch_model", _make_unet_sd(ucfg))
+    dump("vae", "diffusion_pytorch_model", _make_vae_sd(vcfg))
+    dump("image_encoder", "model",
+         _make_pbe_encoder_sd(vis, 32, pbe_num_mapper_blocks(vis)))
+
+    pbe = PaintByExampleGuidance.create(jax.random.key(0), tiny=True,
+                                        model_dir=tmp_path)
+    ex = jax.random.uniform(jax.random.key(1), (1, 32, 32, 3))
+    emb = pbe.encode_exemplar(ex)
+    assert emb.shape[0] == 2
+    assert np.isfinite(np.asarray(emb)).all()
+    # the loaded uncond vector is the checkpoint's, not random init
+    sd_unc = _make_pbe_encoder_sd(vis, 32,
+                                  pbe_num_mapper_blocks(vis))["uncond_vector"]
+    np.testing.assert_allclose(
+        np.asarray(pbe.image_encoder_params["params"]["uncond_vector"]),
+        sd_unc, rtol=1e-6)

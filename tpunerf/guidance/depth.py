@@ -56,11 +56,21 @@ class StableDiffusionDepthGuidance:
     max_step: int = 980
     latent_size: int = 64
     image_size: int = 512
+    # SD2-inpainting 9-channel UNet ([latent, mask, masked-image latent]),
+    # used inside the img2img inpaint window (reference
+    # stable_diffusion_depth.py:59-62, :211-237)
+    inpaint_unet: Optional[UNet2DCondition] = None
+    inpaint_unet_params: Any = None
 
     @classmethod
     def create(cls, key: jax.Array, tiny: bool = False,
                model_dir=None, min_step: float = 0.02,
-               max_step: float = 0.98) -> "StableDiffusionDepthGuidance":
+               max_step: float = 0.98, use_inpaint: bool = False,
+               inpaint_model_dir=None) -> "StableDiffusionDepthGuidance":
+        """use_inpaint: also construct the SD2-inpainting 9-ch UNet
+        (reference `use_inpaint`, stable_diffusion_depth.py:23,:59-62).
+        inpaint_model_dir: diffusers-layout checkpoint dir for its weights
+        (stabilityai/stable-diffusion-2-inpainting); random init without."""
         if tiny:
             ucfg = UNetConfig.tiny(in_channels=5)
             vcfg = vae_lib.VAEConfig.tiny()
@@ -89,19 +99,38 @@ class StableDiffusionDepthGuidance:
             k1, k2, k3 = jax.random.split(key, 3)
             lat = jnp.zeros((1, latent_size, latent_size, 5))
             ctx = jnp.zeros((1, tcfg.max_length, ucfg.cross_attention_dim))
-            unet_params = unet.init(k1, lat, jnp.zeros((1,), jnp.int32), ctx)
-            vae_params = vae.init(
+            unet_params = jax.jit(unet.init)(k1, lat,
+                                             jnp.zeros((1,), jnp.int32),
+                                             ctx)
+            vae_params = jax.jit(vae.init)(
                 k2, jnp.zeros((1, image_size, image_size, 3)),
                 jax.random.key(0))
-            text_params = text.init(
+            text_params = jax.jit(text.init)(
                 k3, jnp.zeros((1, tcfg.max_length), jnp.int32))
+        inpaint_unet = inpaint_params = None
+        if use_inpaint:
+            icfg = dataclasses.replace(ucfg, in_channels=9)
+            inpaint_unet = UNet2DCondition(icfg)
+            if inpaint_model_dir is not None:
+                from tpunerf.guidance import weights
+                inpaint_params = weights.load_unet_params(
+                    inpaint_model_dir, inpaint_unet)
+            else:
+                lat9 = jnp.zeros((1, latent_size, latent_size, 9))
+                ctx = jnp.zeros((1, tcfg.max_length,
+                                 ucfg.cross_attention_dim))
+                inpaint_params = jax.jit(inpaint_unet.init)(
+                    jax.random.fold_in(key, 9), lat9,
+                    jnp.zeros((1,), jnp.int32), ctx)
         sched = NoiseSchedule.scaled_linear()
         return cls(unet=unet, unet_params=unet_params, vae=vae,
                    vae_params=vae_params, text_encoder=text,
                    text_params=text_params, tokenizer=tokenizer, sched=sched,
                    min_step=int(1000 * min_step),
                    max_step=int(1000 * max_step),
-                   latent_size=latent_size, image_size=image_size)
+                   latent_size=latent_size, image_size=image_size,
+                   inpaint_unet=inpaint_unet,
+                   inpaint_unet_params=inpaint_params)
 
     # ------------------------------------------------------------------ #
     def get_text_embeds(self, prompts: Sequence[str],
@@ -125,6 +154,20 @@ class StableDiffusionDepthGuidance:
         inp = jnp.concatenate([latents_noisy, depth64], axis=-1)
         eps = self.unet.apply(self.unet_params, jnp.concatenate([inp] * 2),
                               t, text_embeddings)
+        eps_u, eps_c = eps[:B], eps[B:]
+        return eps_u + guidance_scale * (eps_c - eps_u)
+
+    def _cfg_eps_inpaint(self, latents_noisy, mask64, masked_latents, t,
+                         text_embeddings, guidance_scale):
+        """SD2-inpainting 9-ch UNet CFG pass: input channel order
+        [latent, mask, masked-image latent] (reference
+        stable_diffusion_depth.py:231-237)."""
+        B = latents_noisy.shape[0]
+        inp = jnp.concatenate([latents_noisy, mask64, masked_latents],
+                              axis=-1)
+        eps = self.inpaint_unet.apply(self.inpaint_unet_params,
+                                      jnp.concatenate([inp] * 2), t,
+                                      text_embeddings)
         eps_u, eps_c = eps[:B], eps[B:]
         return eps_u + guidance_scale * (eps_c - eps_u)
 
@@ -172,35 +215,66 @@ class StableDiffusionDepthGuidance:
                      num_inference_steps: int = 50,
                      guidance_scale: float = 7.5,
                      strength: float = 0.8,
-                     inpaint_lo: int = 10, inpaint_hi: int = 20
+                     inpaint_lo: int = 10, inpaint_hi: int = 20,
+                     check_mask_iters: float = 0.5,
+                     masked_latents: Optional[jnp.ndarray] = None
                      ) -> jnp.ndarray:
-        """Masked iterative img2img (reference `img2img_step`, :170-300):
-        strength-truncated PNDM/DDIM walk; where `update_mask` is 0 the
-        original (re-noised) latents are kept; inside the [inpaint_lo,
-        inpaint_hi) step window the `check_mask` region is also forced back
-        to the re-noised original (the depth-aware inpaint trick)."""
+        """Masked iterative img2img (reference `img2img_step` sample loop,
+        stable_diffusion_depth.py:179-268): strength-truncated DDIM walk.
+
+        Per step i (matching the reference's order of operations):
+        * outside the inpaint window, the region where `curr_mask` is 0 is
+          forced back to the re-noised original latents; curr_mask is
+          `check_mask` for the first `check_mask_iters` fraction of steps,
+          `update_mask` after (ref :216-222);
+        * inside the window (inpaint_lo < i < inpaint_hi), when the
+          9-channel SD2-inpainting UNet is constructed (`use_inpaint`) and
+          `masked_latents` are given, the noise is predicted by that UNet on
+          [latent, update_mask, masked_latents] instead of the depth UNet
+          (ref :211,:229-237);
+        * with `update_mask`, the walk starts from pure noise (ref :199-203).
+        """
         ts, _ = strength_timesteps(num_inference_steps, strength)
         noise = jax.random.normal(key, latents.shape)
-        lat = self.sched.add_noise(latents, noise, ts[0])
+        if update_mask is not None:
+            lat = jax.random.normal(jax.random.fold_in(key, 1),
+                                    latents.shape)
+        else:
+            lat = self.sched.add_noise(latents, noise, ts[0])
+        use_inpaint = (self.inpaint_unet is not None
+                       and masked_latents is not None
+                       and update_mask is not None)
+        n_check = int(len(ts) * check_mask_iters)
 
         def body(carry, inp):
             lat, i = carry
             t = inp
-            eps = self._cfg_eps_depth(lat, depth64, t, text_embeddings,
-                                      guidance_scale)
+            in_window = (i > inpaint_lo) & (i < inpaint_hi) \
+                if use_inpaint else jnp.asarray(False)
+            if update_mask is not None:
+                noised_truth = self.sched.add_noise(latents, noise, t)
+                if check_mask is not None:
+                    curr_mask = jnp.where(i < n_check, check_mask,
+                                          update_mask)
+                else:
+                    curr_mask = update_mask
+                constrained = lat * curr_mask + noised_truth * (1 - curr_mask)
+                lat = jnp.where(in_window, lat, constrained)
+
+            if use_inpaint:
+                eps = jax.lax.cond(
+                    in_window,
+                    lambda l: self._cfg_eps_inpaint(
+                        l, update_mask, masked_latents, t, text_embeddings,
+                        guidance_scale),
+                    lambda l: self._cfg_eps_depth(
+                        l, depth64, t, text_embeddings, guidance_scale),
+                    lat)
+            else:
+                eps = self._cfg_eps_depth(lat, depth64, t, text_embeddings,
+                                          guidance_scale)
             prev = ddim_step(self.sched, eps, t, lat,
                              num_inference_steps).prev_sample
-            if update_mask is not None:
-                orig_noisy = self.sched.add_noise(
-                    latents, noise, jnp.maximum(
-                        t - self.sched.num_train_timesteps //
-                        num_inference_steps, 0))
-                keep = update_mask
-                if check_mask is not None:
-                    in_window = (i > inpaint_lo) & (i < inpaint_hi)
-                    keep = jnp.where(in_window, update_mask * (1 - check_mask),
-                                     update_mask)
-                prev = orig_noisy * (1 - keep) + prev * keep
             return (prev, i + 1), None
 
         (lat, _), _ = jax.lax.scan(body, (lat, jnp.asarray(0)), ts)
@@ -232,3 +306,14 @@ class StableDiffusionDepthGuidance:
 
     def encode_imgs(self, imgs01, key):
         return vae_lib.encode_imgs(self.vae, self.vae_params, imgs01, key)
+
+    def encode_masked_inputs(self, imgs01: jnp.ndarray,
+                             update_mask: jnp.ndarray,
+                             key: jax.Array) -> jnp.ndarray:
+        """Masked-image latents for the inpaint UNet: the update region is
+        filled with mid-grey before VAE encoding (reference
+        stable_diffusion_depth.py:276-281)."""
+        m512 = jax.image.resize(update_mask,
+                                (*imgs01.shape[:3], 1), method="nearest")
+        masked = jnp.where(m512 < 0.5, imgs01, 0.5)
+        return vae_lib.encode_imgs(self.vae, self.vae_params, masked, key)

@@ -35,37 +35,49 @@ from tpunerf.guidance.stable_diffusion import LATENT_GRAY
 from tpunerf.guidance.unet import UNet2DCondition, UNetConfig
 
 
+def pbe_num_mapper_blocks(vision_config: CLIPVisionConfig) -> int:
+    """Mapper depth of the real checkpoint: (num_hidden_layers + 1) // 5
+    — 5 blocks for the ViT-L tower (diffusers PaintByExampleMapper; the
+    reference consumes it via Fantasy-Studio/Paint-by-Example,
+    paint_by_example.py:705-751). Floor of 1 for tiny test configs."""
+    return max(1, (vision_config.num_layers + 1) // 5)
+
+
 class PaintByExampleImageEncoder(nn.Module):
     """CLIP vision + mapper transformer + proj + learned uncond vector
-    (reference paint_by_example.py:705-751)."""
+    (reference paint_by_example.py:705-751). Structure mirrors the HF
+    checkpoint: N 1-head pre-norm transformer blocks with biased attention
+    and exact (erf) GELU feed-forward, so real weights load 1:1
+    (weights.convert_pbe_image_encoder)."""
     vision_config: CLIPVisionConfig
     proj_dim: int = 768
 
     @nn.compact
     def __call__(self, pixel_values: jnp.ndarray) -> jnp.ndarray:
         """(B, H, W, 3) CLIP-normalized → (B, 1, proj_dim) cond embedding."""
+        # registered here (not used in the output) so init() materializes it
+        # and the weight converter can shape-check it like every other leaf
+        self.param("uncond_vector", nn.initializers.normal(0.02),
+                   (1, 1, self.proj_dim))
         pooled = CLIPVisionModel(self.vision_config, name="model")(
             pixel_values)                                   # (B, D)
         x = pooled[:, None, :]
-        # 1-head single-block transformer "mapper"
         D = x.shape[-1]
-        h = nn.LayerNorm(epsilon=1e-5, name="mapper_ln1")(x)
-        q = nn.Dense(D, name="mapper_q")(h)
-        k = nn.Dense(D, name="mapper_k")(h)
-        v = nn.Dense(D, name="mapper_v")(h)
-        attn = nn.softmax(jnp.einsum("bqd,bkd->bqk", q, k) * (D ** -0.5),
-                          axis=-1)
-        x = x + nn.Dense(D, name="mapper_out")(
-            jnp.einsum("bqk,bkd->bqd", attn, v))
-        h = nn.LayerNorm(epsilon=1e-5, name="mapper_ln2")(x)
-        h = nn.Dense(D * 4, name="mapper_fc1")(h)
-        x = x + nn.Dense(D, name="mapper_fc2")(nn.gelu(h))
+        for i in range(pbe_num_mapper_blocks(self.vision_config)):
+            h = nn.LayerNorm(epsilon=1e-5, name=f"block_{i}_norm1")(x)
+            q = nn.Dense(D, name=f"block_{i}_q")(h)
+            k = nn.Dense(D, name=f"block_{i}_k")(h)
+            v = nn.Dense(D, name=f"block_{i}_v")(h)
+            attn = nn.softmax(jnp.einsum("bqd,bkd->bqk", q, k) * (D ** -0.5),
+                              axis=-1)
+            x = x + nn.Dense(D, name=f"block_{i}_out")(
+                jnp.einsum("bqk,bkd->bqd", attn, v))
+            h = nn.LayerNorm(epsilon=1e-5, name=f"block_{i}_norm3")(x)
+            h = nn.Dense(D * 4, name=f"block_{i}_fc1")(h)
+            x = x + nn.Dense(D, name=f"block_{i}_fc2")(
+                nn.gelu(h, approximate=False))
         x = nn.LayerNorm(epsilon=1e-5, name="final_layer_norm")(x)
         return nn.Dense(self.proj_dim, name="proj_out")(x)
-
-    def uncond_embedding(self) -> jnp.ndarray:
-        return self.param("uncond_vector", nn.initializers.normal(0.02),
-                          (1, 1, self.proj_dim))
 
 
 @dataclasses.dataclass
@@ -84,8 +96,13 @@ class PaintByExampleGuidance:
 
     @classmethod
     def create(cls, key: jax.Array, tiny: bool = False,
-               min_step: float = 0.2, max_step: float = 0.6
+               min_step: float = 0.2, max_step: float = 0.6,
+               model_dir: Optional[Any] = None
                ) -> "PaintByExampleGuidance":
+        """model_dir: diffusers-layout Paint-by-Example checkpoint directory
+        (Fantasy-Studio/Paint-by-Example: unet/, vae/, image_encoder/). When
+        given, real weights are converted in (weights.load_pbe_params);
+        otherwise the modules run with random init (tests / smoke runs)."""
         if tiny:
             ucfg = UNetConfig.tiny(in_channels=9, cross_attention_dim=32)
             vcfg = vae_lib.VAEConfig.tiny()
@@ -103,24 +120,25 @@ class PaintByExampleGuidance:
         vae = vae_lib.AutoencoderKL(vcfg)
         enc = PaintByExampleImageEncoder(vis, proj_dim=proj)
 
-        lat = jnp.zeros((1, latent_size, latent_size, 9))
-        ctx = jnp.zeros((1, 1, ucfg.cross_attention_dim))
-        unet_params = unet.init(k1, lat, jnp.zeros((1,), jnp.int32), ctx)
-        vae_params = vae.init(k2, jnp.zeros((1, image_size, image_size, 3)),
-                              jax.random.key(0))
-
-        def init_enc(key):
+        if model_dir is not None:
+            from tpunerf.guidance.weights import load_pbe_params
+            unet_params, vae_params, enc_params = load_pbe_params(
+                model_dir, unet, vae, enc)
+        else:
+            lat = jnp.zeros((1, latent_size, latent_size, 9))
+            ctx = jnp.zeros((1, 1, ucfg.cross_attention_dim))
+            unet_params = jax.jit(unet.init)(k1, lat,
+                                             jnp.zeros((1,), jnp.int32),
+                                             ctx)
+            vae_params = jax.jit(vae.init)(
+                k2, jnp.zeros((1, image_size, image_size, 3)),
+                jax.random.key(0))
             px = jnp.zeros((1, vis.image_size, vis.image_size, 3))
-            variables = enc.init(key, px)
-            # materialize the uncond vector param as well
-            uncond = jax.random.normal(
-                jax.random.fold_in(key, 1), (1, 1, proj)) * 0.02
-            variables["params"]["uncond_vector"] = uncond
-            return variables
+            enc_params = jax.jit(enc.init)(k3, px)
 
         return cls(unet=unet, unet_params=unet_params, vae=vae,
                    vae_params=vae_params, image_encoder=enc,
-                   image_encoder_params=init_enc(k3),
+                   image_encoder_params=enc_params,
                    sched=NoiseSchedule.scaled_linear(),
                    min_step=int(1000 * min_step),
                    max_step=int(1000 * max_step),
@@ -149,10 +167,22 @@ class PaintByExampleGuidance:
 
     def train_step_loss(self, key: jax.Array, latents: jnp.ndarray,
                         mask: jnp.ndarray, image_embeds: jnp.ndarray,
-                        guidance_scale: float = 7.5) -> jnp.ndarray:
+                        guidance_scale: float = 7.5,
+                        use_clip: bool = False,
+                        clip_embed_fn: Optional[Callable] = None,
+                        ref_image01: Optional[jnp.ndarray] = None,
+                        clip_image_size: int = 224) -> jnp.ndarray:
         """SDS on masked latents (reference `train_step`, pbe :583-680):
-        background replaced by the grey latent, w = (1−ᾱ_t), gradient
-        injected through the Σ latents·sg(grad) identity.
+        foreground replaced by the grey latent, the UNet's mask channel is
+        the KEEP/background mask (ref `masks = 1 - input_masks`, :609,:646),
+        w = (1−ᾱ_t), gradient injected through the Σ latents·sg(grad)
+        identity.
+
+        use_clip (ref :658-664): for sampled t ≤ 0.4·T, instead of the SDS
+        gradient take one full-schedule DDIM step from the noised latents,
+        decode, and return 10 × img_clip_loss(decoded, ref_image01) — the
+        gradient flows latents → x_t → x_{t−1} → VAE → CLIP. The branch is a
+        lax.cond on the traced t so the whole step stays jittable.
 
         latents (B, h, w, 4); mask (B, h, w, 1) foreground=1.
         """
@@ -162,12 +192,31 @@ class PaintByExampleGuidance:
         masked = lat_sg * (1 - mask) + LATENT_GRAY * mask  # grey-fill fg
         noise = jax.random.normal(k_n, lat_sg.shape)
         lat_noisy = self.sched.add_noise(lat_sg, noise, t)
-        eps_hat = self._unet_9ch(lat_noisy, masked, mask, t, image_embeds,
-                                 guidance_scale)
-        w = self.sched.sds_weight(t, form="sigma2")
-        grad = jax.lax.stop_gradient(
-            sds_lib.nan_guard(w * (eps_hat - noise)))
-        return jnp.sum(latents * grad)
+        eps_hat = jax.lax.stop_gradient(
+            self._unet_9ch(lat_noisy, masked, 1.0 - mask, t, image_embeds,
+                           guidance_scale))
+
+        def sds_branch(latents):
+            w = self.sched.sds_weight(t, form="sigma2")
+            grad = jax.lax.stop_gradient(
+                sds_lib.nan_guard(w * (eps_hat - noise)))
+            return jnp.sum(latents * grad)
+
+        if not use_clip:
+            return sds_branch(latents)
+        assert clip_embed_fn is not None and ref_image01 is not None
+
+        def clip_branch(latents):
+            from tpunerf.guidance.clip_vision import img_clip_loss
+            lat_noisy_g = self.sched.add_noise(latents, noise, t)
+            prev = ddim_step(self.sched, eps_hat, t, lat_noisy_g,
+                             self.sched.num_train_timesteps).prev_sample
+            imgs = vae_lib.decode_latents(self.vae, self.vae_params, prev)
+            return 10.0 * img_clip_loss(clip_embed_fn, imgs, ref_image01,
+                                        size=clip_image_size)
+
+        threshold = (4 * self.sched.num_train_timesteps) // 10
+        return jax.lax.cond(t <= threshold, clip_branch, sds_branch, latents)
 
     # ------------------------------------------------------------------ #
     def latent_forward(self, key: jax.Array, latents: jnp.ndarray,
@@ -187,7 +236,8 @@ class PaintByExampleGuidance:
             lat = self.sched.add_noise(latents, noise, ts[0])
 
         def body(lat, t):
-            eps = self._unet_9ch(lat, masked, mask, t, image_embeds,
+            # keep/background mask channel, as in train_step (ref :646)
+            eps = self._unet_9ch(lat, masked, 1.0 - mask, t, image_embeds,
                                  guidance_scale)
             return ddim_step(self.sched, eps, t, lat,
                              num_inference_steps).prev_sample, None

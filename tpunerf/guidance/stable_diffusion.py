@@ -117,11 +117,13 @@ class StableDiffusionGuidance:
             k1, k2, k3 = jax.random.split(key, 3)
             lat = jnp.zeros((1, latent_size, latent_size, in_channels))
             ctx = jnp.zeros((1, tcfg.max_length, ucfg.cross_attention_dim))
-            unet_params = unet.init(k1, lat, jnp.zeros((1,), jnp.int32), ctx)
+            unet_params = jax.jit(unet.init)(k1, lat,
+                                             jnp.zeros((1,), jnp.int32),
+                                             ctx)
             img = jnp.zeros((1, image_size, image_size, 3))
-            vae_params = vae.init(k2, img, jax.random.key(0))
+            vae_params = jax.jit(vae.init)(k2, img, jax.random.key(0))
             ids = jnp.zeros((1, tcfg.max_length), jnp.int32)
-            text_params = text.init(k3, ids)
+            text_params = jax.jit(text.init)(k3, ids)
 
         sched = NoiseSchedule.scaled_linear()
         return cls(unet=unet, unet_params=unet_params, vae=vae,

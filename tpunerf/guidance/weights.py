@@ -258,6 +258,94 @@ def convert_clip_vision(sd: Dict[str, np.ndarray], config) -> Dict[str, Any]:
     return {"params": params}
 
 
+def convert_pbe_image_encoder(sd: Dict[str, np.ndarray], vision_config,
+                              num_blocks: int) -> Dict[str, Any]:
+    """HF `PaintByExampleImageEncoder` state dict → flax params
+    (guidance/paint_by_example.PaintByExampleImageEncoder; reference
+    consumes the torch module at paint_by_example.py:705-751).
+
+    Layout: `model.vision_model.*` CLIP tower, `mapper.blocks.{i}.*`
+    1-head transformer blocks (attention_bias=True, erf-GELU FF),
+    `final_layer_norm`, `proj_out`, `uncond_vector`."""
+    vis_sd = {k[len("model."):]: v for k, v in sd.items()
+              if k.startswith("model.")}
+    vision = convert_clip_vision(vis_sd, vision_config)["params"]["vision"]
+    p: Dict[str, Any] = {
+        "model": vision,
+        "uncond_vector": sd["uncond_vector"],
+        "final_layer_norm": _norm(sd, "final_layer_norm"),
+        "proj_out": _dense(sd, "proj_out"),
+    }
+    for i in range(num_blocks):
+        b = f"mapper.blocks.{i}"
+        p[f"block_{i}_norm1"] = _norm(sd, f"{b}.norm1")
+        p[f"block_{i}_q"] = _dense(sd, f"{b}.attn1.to_q")
+        p[f"block_{i}_k"] = _dense(sd, f"{b}.attn1.to_k")
+        p[f"block_{i}_v"] = _dense(sd, f"{b}.attn1.to_v")
+        p[f"block_{i}_out"] = _dense(sd, f"{b}.attn1.to_out.0")
+        p[f"block_{i}_norm3"] = _norm(sd, f"{b}.norm3")
+        p[f"block_{i}_fc1"] = _dense(sd, f"{b}.ff.net.0.proj")
+        p[f"block_{i}_fc2"] = _dense(sd, f"{b}.ff.net.2")
+    return {"params": p}
+
+
+def load_unet_params(model_dir: Path, unet) -> Any:
+    """Load just a UNet from a diffusers-layout directory (used for the
+    SD2-inpainting 9-ch UNet of the depth backend, reference
+    stable_diffusion_depth.py:59-62)."""
+    model_dir = Path(model_dir)
+    ucfg = unet.config
+    unet_sd = _load_state_dict(model_dir / "unet" / "diffusion_pytorch_model")
+    lat = jnp.zeros((1, 64, 64, ucfg.in_channels))
+    ctx = jnp.zeros((1, 77, ucfg.cross_attention_dim))
+    unet_shapes = jax.eval_shape(
+        lambda: unet.init(jax.random.key(0), lat, jnp.zeros((1,), jnp.int32),
+                          ctx))
+    return _check_tree(convert_unet(unet_sd, ucfg), unet_shapes,
+                       "inpaint_unet")
+
+
+def load_pbe_params(model_dir: Path, unet, vae, image_encoder
+                    ) -> Tuple[Any, Any, Any]:
+    """Load + convert a diffusers-layout Paint-by-Example checkpoint
+    directory (unet/, vae/, image_encoder/) onto the flax modules
+    (VERDICT r2 task 4 — real-weights path for PbE)."""
+    from tpunerf.guidance.paint_by_example import pbe_num_mapper_blocks
+
+    model_dir = Path(model_dir)
+    ucfg, vcfg = unet.config, vae.config
+    vis = image_encoder.vision_config
+
+    unet_sd = _load_state_dict(model_dir / "unet" / "diffusion_pytorch_model")
+    vae_sd = _load_state_dict(model_dir / "vae" / "diffusion_pytorch_model")
+    try:
+        enc_sd = _load_state_dict(model_dir / "image_encoder" / "model")
+    except FileNotFoundError:
+        enc_sd = _load_state_dict(
+            model_dir / "image_encoder" / "pytorch_model")
+
+    lat = jnp.zeros((1, 64, 64, ucfg.in_channels))
+    ctx = jnp.zeros((1, 1, ucfg.cross_attention_dim))
+    unet_shapes = jax.eval_shape(
+        lambda: unet.init(jax.random.key(0), lat, jnp.zeros((1,), jnp.int32),
+                          ctx))
+    vae_shapes = jax.eval_shape(
+        lambda: vae.init(jax.random.key(0), jnp.zeros((1, 256, 256, 3)),
+                         jax.random.key(0)))
+    enc_shapes = jax.eval_shape(
+        lambda: image_encoder.init(
+            jax.random.key(0),
+            jnp.zeros((1, vis.image_size, vis.image_size, 3))))
+
+    unet_params = _check_tree(convert_unet(unet_sd, ucfg), unet_shapes,
+                              "unet")
+    vae_params = _check_tree(convert_vae(vae_sd, vcfg), vae_shapes, "vae")
+    enc_params = _check_tree(
+        convert_pbe_image_encoder(enc_sd, vis, pbe_num_mapper_blocks(vis)),
+        enc_shapes, "image_encoder")
+    return unet_params, vae_params, enc_params
+
+
 def _check_tree(converted, expected_shapes, name: str) -> Any:
     """Assert converted leaves match the module's expected shapes exactly."""
     conv_flat = jax.tree_util.tree_flatten_with_path(converted)[0]

@@ -78,6 +78,9 @@ class OptimConfig:
     lambda_displacement: float = 10.0
     mode: int = 0                           # 0 Latent-Paint | 1 TADA | 2 SDEdit
     use_opt_txt: bool = False
+    # PbE low-t CLIP branch (reference paint_by_example.py:658-664 via
+    # trainer use_clip, latent_paint_mesh/training/trainer.py:384)
+    use_clip: bool = False
     # volumetric extras
     lambda_sparsity: float = 5e-4
     lambda_opacity: float = 0.0

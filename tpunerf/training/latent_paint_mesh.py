@@ -126,13 +126,24 @@ class LatentPaintMeshApp:
             ref_image = _load_image(cfg.guide.image, size)
             if pbe is not None:
                 image_embeds = pbe.encode_exemplar(ref_image)
+                if cfg.optim.use_clip:
+                    # CLIP tower for the PbE low-t CLIP-loss branch
+                    # (reference pbe :658-664, clip_model from init_clip)
+                    vcfg = (CLIPVisionConfig.tiny()
+                            if cfg.guide.tiny_diffusion
+                            else CLIPVisionConfig.vit_l_14())
+                    embedder = CLIPImageEmbedder(vcfg)
+                    eparams = jax.jit(embedder.init)(
+                        jax.random.key(cfg.optim.seed),
+                        jnp.zeros((1, vcfg.image_size, vcfg.image_size, 3)))
+                    clip = (embedder, eparams)
             else:
                 # CLIP tower for the train_render_clip path
                 # (reference init_clip, trainer.py:172-180)
                 vcfg = (CLIPVisionConfig.tiny() if cfg.guide.tiny_diffusion
                         else CLIPVisionConfig.vit_l_14())
                 embedder = CLIPImageEmbedder(vcfg)
-                eparams = embedder.init(
+                eparams = jax.jit(embedder.init)(
                     jax.random.key(cfg.optim.seed),
                     jnp.zeros((1, vcfg.image_size, vcfg.image_size, 3)))
                 clip = (embedder, eparams)
@@ -195,9 +206,17 @@ class LatentPaintMeshApp:
                     guidance_scale=cfg.guide.guidance_scale)
             else:
                 mask = jax.lax.stop_gradient(render["mask"])
+                clip_fn = None
+                clip_size = 224
+                if cfg.optim.use_clip and self.clip is not None:
+                    embedder, eparams = self.clip
+                    clip_fn = lambda p: embedder.apply(eparams, p)  # noqa: E731
+                    clip_size = embedder.config.image_size
                 main = self.pbe.train_step_loss(
                     k_sds, image, mask, self.image_embeds,
-                    guidance_scale=cfg.guide.guidance_scale)
+                    guidance_scale=cfg.guide.guidance_scale,
+                    use_clip=cfg.optim.use_clip, clip_embed_fn=clip_fn,
+                    ref_image01=self.ref_image, clip_image_size=clip_size)
         elif mode == 1:
             main = self._tada_loss(k_sds, render, views)
         elif mode == 2:
