@@ -58,3 +58,43 @@ def test_golden_volume_render():
     assert float(res.depth[0, 36]) == pytest.approx(1.642159, abs=2e-2)
     np.testing.assert_allclose(np.asarray(res.image[0, 36]),
                                [0.2, 0.4, 0.6, 0.8], atol=1e-3)
+
+
+def test_golden_train_composite():
+    """Pins the EXACT image the SDS loss consumes on the paint path
+    (VERDICT r2 task 9): textured fg + env-sphere bg composited through the
+    detached mask (reference latent_paint render.py:34-47,
+    textured_mesh.py:187-220), bicubic-resized to the latent grid. Fixed
+    seed-0 params; any change to fg render, bg sphere colors, mask
+    compositing, or the resize shows up here."""
+    from tpunerf.core.views import ViewBatch
+    from tpunerf.meshrep.textured_mesh import TexturedMeshScene
+
+    scene = TexturedMeshScene.create(shape_path=None, shape_scale=0.6,
+                                     latent_mode=True, texture_resolution=16,
+                                     render_grid_size=32)
+    scene.latent_size = 16
+    params = scene.init_params(jax.random.key(0))
+    views = ViewBatch(theta=jnp.array([1.2]), phi=jnp.array([0.7]),
+                      radius=jnp.array([1.5]), dirs=jnp.array([0]),
+                      is_body=jnp.array([True]))
+    out = scene.render_train(params, views)
+    img = np.asarray(out["image"][0])
+    assert img.shape == (16, 16, 4)
+    assert float(np.asarray(out["mask"][0]).sum()) == pytest.approx(
+        124.25, abs=1.0)
+    # interior pixel = foreground (mask 1): composited == fg exactly
+    np.testing.assert_allclose(
+        img[8, 8], [0.053144, -0.151097, -0.228955, 0.482361], atol=1e-3)
+    np.testing.assert_allclose(np.asarray(out["foreground"][0, 8, 8]),
+                               img[8, 8], atol=1e-6)
+    # corner pixel = background (mask 0): composited == env-sphere bg
+    np.testing.assert_allclose(
+        img[0, 0], [0.160628, 0.403694, 0.675051, 0.60434], atol=1e-3)
+    np.testing.assert_allclose(np.asarray(out["background"][0, 0, 0]),
+                               img[0, 0], atol=1e-6)
+    # mixed off-center probes
+    np.testing.assert_allclose(
+        img[4, 12], [0.2078, -0.554919, -1.067014, 0.147422], atol=1e-3)
+    np.testing.assert_allclose(
+        img[12, 4], [-0.053544, 0.430989, -0.764044, -0.104779], atol=1e-3)
