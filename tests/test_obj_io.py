@@ -63,3 +63,78 @@ def test_export_roundtrip(tmp_path):
     np.testing.assert_allclose(m.vertices, v)
     np.testing.assert_array_equal(m.faces, f)
     np.testing.assert_allclose(m.uvs, vt)
+
+
+def test_chart_atlas_no_overlap_and_consistent():
+    """Chart unwrap (xatlas equivalent, VERDICT r2 task 7): every face has
+    UVs inside [0,1]², non-degenerate area, and no two UV triangles overlap
+    (checked at interior sample points against every other triangle)."""
+    import numpy as np
+
+    from tpunerf.meshrep import shapes
+    from tpunerf.meshrep.uv_unwrap import chart_atlas
+
+    mesh = shapes.uv_sphere(12, 16)
+    v = np.asarray(mesh.vertices)
+    f = np.asarray(mesh.faces)
+    vt, ft = chart_atlas(v, f)
+    assert ft.shape == f.shape
+    assert vt.min() >= 0.0 and vt.max() <= 1.0
+
+    tri = vt[ft]                                          # (F, 3, 2)
+    area = 0.5 * np.abs(
+        (tri[:, 1, 0] - tri[:, 0, 0]) * (tri[:, 2, 1] - tri[:, 0, 1])
+        - (tri[:, 2, 0] - tri[:, 0, 0]) * (tri[:, 1, 1] - tri[:, 0, 1]))
+    assert (area > 1e-9).all()
+
+    # global overlap check: interior points of each triangle must lie in no
+    # other triangle
+    wts = np.array([[1 / 3, 1 / 3, 1 / 3], [0.6, 0.2, 0.2], [0.2, 0.6, 0.2]])
+    pts = np.einsum("sw,fwd->fsd", wts, tri).reshape(-1, 2)
+    v0, v1, v2 = tri[:, 0], tri[:, 1], tri[:, 2]
+
+    def cross(a, b):
+        return a[..., 0] * b[..., 1] - a[..., 1] * b[..., 0]
+
+    p = pts[:, None, :]
+    w0 = cross(v2 - v1, p - v1[None])
+    w1 = cross(v0 - v2, p - v2[None])
+    w2 = cross(v1 - v0, p - v0[None])
+    sgn = np.sign(cross(v1 - v0, v2 - v0))[None]
+    eps = 1e-9
+    inside = (w0 * sgn > eps) & (w1 * sgn > eps) & (w2 * sgn > eps)
+    own = np.repeat(np.arange(len(tri)), len(wts))
+    inside[np.arange(len(pts)), own] = False
+    assert not inside.any(), "UV triangles overlap"
+
+
+def test_chart_atlas_utilization_beats_grid_2x():
+    """The chart unwrap must cover ≥2× the texels of the per-face grid
+    atlas it replaced (VERDICT r2 task 7 acceptance bar)."""
+    import numpy as np
+
+    from tpunerf.meshrep import shapes
+    from tpunerf.meshrep.uv_unwrap import (atlas_utilization, chart_atlas,
+                                           grid_atlas)
+
+    for mesh in (shapes.uv_sphere(), shapes.uv_sphere(12, 16)):
+        v = np.asarray(mesh.vertices)
+        f = np.asarray(mesh.faces)
+        u_chart = atlas_utilization(*chart_atlas(v, f))
+        u_grid = atlas_utilization(*grid_atlas(v, f))
+        assert u_chart >= 2.0 * u_grid, (u_chart, u_grid)
+
+
+def test_chart_atlas_cache_roundtrip(tmp_path):
+    import numpy as np
+
+    from tpunerf.meshrep import shapes
+    from tpunerf.meshrep.uv_unwrap import get_or_build_uvs
+
+    mesh = shapes.uv_sphere(8, 12)
+    v = np.asarray(mesh.vertices)
+    f = np.asarray(mesh.faces)
+    vt1, ft1 = get_or_build_uvs(v, f, cache_dir=tmp_path)
+    vt2, ft2 = get_or_build_uvs(v, f, cache_dir=tmp_path)  # from cache
+    np.testing.assert_array_equal(vt1, vt2)
+    np.testing.assert_array_equal(ft1, ft2)
