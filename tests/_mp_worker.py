@@ -45,7 +45,7 @@ def main(coordinator: str, num_procs: int, proc_id: int) -> None:
     cfg = TrainConfig(
         log=LogConfig(exp_name=f"mp{proc_id}",
                       exp_root=pathlib.Path(tempfile.mkdtemp())),
-        render=RenderConfig(train_grid_size=16, num_samples_per_ray=32,
+        render=RenderConfig(train_grid_size=12, num_samples_per_ray=16,
                             batch_size=8),
         optim=OptimConfig(iters=1, seed=0),
         guide=GuideConfig(text="a sand castle", tiny_diffusion=True),

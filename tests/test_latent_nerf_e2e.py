@@ -27,9 +27,9 @@ def _cfg(tmp_path, **over):
     return TrainConfig(**base)
 
 
-def test_unconstrained_training_step(tmp_path):
+def test_unconstrained_training_step(tmp_path, tiny_sd_guidance):
     cfg = _cfg(tmp_path)
-    app = LatentNeRFApp.create(cfg)
+    app = LatentNeRFApp.create(cfg, guidance=tiny_sd_guidance)
     trainer = Trainer(cfg, app)
     table_before = np.asarray(
         trainer.params["field"]["params"]["hash_table"]).copy()
@@ -44,13 +44,13 @@ def test_unconstrained_training_step(tmp_path):
     assert len(list((cfg.log.exp_dir / "vis" / "eval").glob("*.png"))) > 0
 
 
-def test_sketch_shape_guided_training(tmp_path):
+def test_sketch_shape_guided_training(tmp_path, tiny_sd_guidance):
     cfg = _cfg(tmp_path, guide=GuideConfig(
         text="a teddy bear", tiny_diffusion=True, shape_path="sphere",
         proximal_surface=0.2))
     cfg = dataclasses.replace(
         cfg, optim=dataclasses.replace(cfg.optim, iters=3, lambda_shape=1.0))
-    app = LatentNeRFApp.create(cfg)
+    app = LatentNeRFApp.create(cfg, guidance=tiny_sd_guidance)
     assert app.scene.sdf is not None
     trainer = Trainer(cfg, app)
     trainer.train()
@@ -58,13 +58,14 @@ def test_sketch_shape_guided_training(tmp_path):
         np.asarray(trainer.params["field"]["params"]["hash_table"])).all()
 
 
-def test_rgb_refinement_mode(tmp_path):
+def test_rgb_refinement_mode(tmp_path, tiny_sd_guidance):
     cfg = _cfg(tmp_path, render=RenderConfig(
         train_grid_size=16, eval_grid_size=32, num_samples_per_ray=32,
         nerf_type="rgb"))
     cfg = dataclasses.replace(cfg,
                               optim=dataclasses.replace(cfg.optim, iters=2))
-    app = LatentNeRFApp.create(cfg)
+    app = LatentNeRFApp.create(cfg, guidance=dataclasses.replace(
+        tiny_sd_guidance, latent_mode=False))
     trainer = Trainer(cfg, app)
     trainer.train()
     from tpunerf.core.views import circle_poses
@@ -74,11 +75,11 @@ def test_rgb_refinement_mode(tmp_path):
     assert float(out["image"].max()) <= 1.0
 
 
-def test_single_frame_fwd_bwd_finite(tmp_path):
+def test_single_frame_fwd_bwd_finite(tmp_path, tiny_sd_guidance):
     """BASELINE config #1: single 64×64-style latent frame, fixed camera,
     CPU fwd+bwd check (here 16×16 for speed)."""
     cfg = _cfg(tmp_path)
-    app = LatentNeRFApp.create(cfg)
+    app = LatentNeRFApp.create(cfg, guidance=tiny_sd_guidance)
     params = app.init_params(jax.random.key(0))
     from tpunerf.core.views import ViewBatch
     views = ViewBatch(theta=jnp.array([1.0]), phi=jnp.array([0.5]),

@@ -26,10 +26,10 @@ def _tiny_cfg(tmp_path, iters=6, latent_mode=True):
 
 
 @pytest.fixture(scope="module")
-def trained(tmp_path_factory):
+def trained(tmp_path_factory, tiny_sd_guidance):
     tmp = tmp_path_factory.mktemp("lp")
     cfg = _tiny_cfg(tmp)
-    app = LatentPaintApp.create(cfg)
+    app = LatentPaintApp.create(cfg, guidance=tiny_sd_guidance)
     trainer = Trainer(cfg, app)
     tex_before = np.asarray(trainer.params["texture_img"]).copy()
     trainer.train()

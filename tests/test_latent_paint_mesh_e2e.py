@@ -29,9 +29,13 @@ def _cfg(tmp_path, mode=0, use_sd=True, body_prob=1.0, exp="m"):
     )
 
 
-def test_mode0_sds_training(tmp_path):
+def _sd(tiny_sd_guidance, latent_mode):
+    return dataclasses.replace(tiny_sd_guidance, latent_mode=latent_mode)
+
+
+def test_mode0_sds_training(tmp_path, tiny_sd_guidance):
     cfg = _cfg(tmp_path, mode=0)
-    app = LatentPaintMeshApp.create(cfg)
+    app = LatentPaintMeshApp.create(cfg, guidance=_sd(tiny_sd_guidance, True))
     trainer = Trainer(cfg, app)
     tex0 = np.asarray(trainer.params["texture_img"]).copy()
     disp0 = np.asarray(trainer.params["displacement"]).copy()
@@ -42,9 +46,10 @@ def test_mode0_sds_training(tmp_path):
     assert np.isfinite(np.asarray(trainer.params["displacement"])).all()
 
 
-def test_mode1_tada_loss(tmp_path):
+def test_mode1_tada_loss(tmp_path, tiny_sd_guidance):
     cfg = _cfg(tmp_path, mode=1, exp="m1")
-    app = LatentPaintMeshApp.create(cfg)
+    app = LatentPaintMeshApp.create(cfg,
+                                    guidance=_sd(tiny_sd_guidance, False))
     params = app.init_params(jax.random.key(0))
     views = rand_poses(jax.random.key(1), 1, ViewSamplerConfig())
     loss, aux = app.loss_fn(params, views, jax.random.key(2), jnp.asarray(0))
@@ -55,9 +60,10 @@ def test_mode1_tada_loss(tmp_path):
         g["texture_img_rgb_finetune"])).max() > 0
 
 
-def test_mode2_sdedit_loss(tmp_path):
+def test_mode2_sdedit_loss(tmp_path, tiny_sd_guidance):
     cfg = _cfg(tmp_path, mode=2, exp="m2")
-    app = LatentPaintMeshApp.create(cfg)
+    app = LatentPaintMeshApp.create(cfg,
+                                    guidance=_sd(tiny_sd_guidance, False))
     params = app.init_params(jax.random.key(0))
     views = rand_poses(jax.random.key(1), 1, ViewSamplerConfig())
     loss, _ = app.loss_fn(params, views, jax.random.key(2), jnp.asarray(0))
@@ -65,7 +71,7 @@ def test_mode2_sdedit_loss(tmp_path):
     assert float(loss) >= 0  # MSE-form
 
 
-def test_pbe_guidance_path(tmp_path):
+def test_pbe_guidance_path(tmp_path, tiny_pbe_guidance):
     cfg = _cfg(tmp_path, mode=0, use_sd=False, exp="mp")
     # PbE needs an exemplar image
     from PIL import Image
@@ -74,7 +80,7 @@ def test_pbe_guidance_path(tmp_path):
         0, 255, (64, 64, 3))).astype(np.uint8)).save(img_path)
     cfg = dataclasses.replace(
         cfg, guide=dataclasses.replace(cfg.guide, image=img_path))
-    app = LatentPaintMeshApp.create(cfg)
+    app = LatentPaintMeshApp.create(cfg, pbe=tiny_pbe_guidance)
     assert app.pbe is not None and app.image_embeds is not None
     params = app.init_params(jax.random.key(0))
     views = rand_poses(jax.random.key(1), 1, ViewSamplerConfig())
@@ -83,9 +89,9 @@ def test_pbe_guidance_path(tmp_path):
     assert np.abs(np.asarray(g["texture_img"])).max() > 0
 
 
-def test_dual_camera_body_head(tmp_path):
+def test_dual_camera_body_head(tmp_path, tiny_sd_guidance):
     cfg = _cfg(tmp_path, mode=0, body_prob=0.5, exp="md")
-    app = LatentPaintMeshApp.create(cfg)
+    app = LatentPaintMeshApp.create(cfg, guidance=_sd(tiny_sd_guidance, True))
     assert app.scene.head_camera is not None
     params = app.init_params(jax.random.key(0))
     from tpunerf.core.views import ViewBatch
@@ -99,21 +105,21 @@ def test_dual_camera_body_head(tmp_path):
     assert np.abs(img[0] - img[1]).max() > 1e-4
 
 
-def test_sampled_texture_init(tmp_path):
+def test_sampled_texture_init(tmp_path, tiny_sd_guidance):
     from PIL import Image
     tex_path = tmp_path / "tex.png"
     Image.fromarray(np.full((64, 64, 3), 200, np.uint8)).save(tex_path)
     cfg = _cfg(tmp_path, mode=0, exp="mt")
     cfg = dataclasses.replace(
         cfg, guide=dataclasses.replace(cfg.guide, sampled_texture=tex_path))
-    app = LatentPaintMeshApp.create(cfg)
+    app = LatentPaintMeshApp.create(cfg, guidance=_sd(tiny_sd_guidance, True))
     params = app.init_params(jax.random.key(0))
     # RGB finetune texture seeded from the sampled texture (≈ 200/255)
     rgb = np.asarray(params["texture_img_rgb_finetune"])
     np.testing.assert_allclose(rgb, 200 / 255, atol=0.02)
 
 
-def test_depth_guided_paint_mesh_batched(tmp_path):
+def test_depth_guided_paint_mesh_batched(tmp_path, tiny_depth_guidance):
     """BASELINE config #5 shape: depth-conditioned SD guidance on mesh
     renders with batched cameras."""
     cfg = _cfg(tmp_path, mode=0, exp="mdep")
@@ -121,7 +127,8 @@ def test_depth_guided_paint_mesh_batched(tmp_path):
         cfg,
         guide=dataclasses.replace(cfg.guide, diffusion_name="sd-depth"),
         render=dataclasses.replace(cfg.render, batch_size=2))
-    app = LatentPaintMeshApp.create(cfg)
+    app = LatentPaintMeshApp.create(cfg,
+                                    depth_guidance=tiny_depth_guidance)
     assert app.depth_guidance is not None and app.guidance is None
     params = app.init_params(jax.random.key(0))
     views = rand_poses(jax.random.key(1), 2, ViewSamplerConfig())

@@ -25,7 +25,13 @@ def test_two_process_data_parallel_train_step():
     port = _free_port()
     coord = f"127.0.0.1:{port}"
     env = {**os.environ, "JAX_PLATFORMS": "cpu",
-           "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+           # single-threaded workers: on a 2-core host this test runs
+           # alongside xdist workers; thread-pool oversubscription made it
+           # time out under load
+           "XLA_FLAGS": ("--xla_force_host_platform_device_count=4 "
+                         "--xla_cpu_multi_thread_eigen=false "
+                         "intra_op_parallelism_threads=1"),
+           "OMP_NUM_THREADS": "1",
            # keep the repo importable: the ambient PYTHONPATH is overridden
            # by the axon site dir in this environment
            "PYTHONPATH": f"{_ROOT}:{os.environ.get('PYTHONPATH', '')}"}
@@ -40,7 +46,7 @@ def test_two_process_data_parallel_train_step():
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=540)
+            out, _ = p.communicate(timeout=900)
             outs.append(out)
             assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
     finally:

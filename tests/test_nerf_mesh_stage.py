@@ -25,9 +25,9 @@ def _cfg(tmp_path, exp="nm"):
     )
 
 
-def test_nerf_to_mesh_pipeline(tmp_path):
+def test_nerf_to_mesh_pipeline(tmp_path, tiny_sd_guidance):
     cfg = _cfg(tmp_path)
-    app = LatentNeRFApp.create(cfg)
+    app = LatentNeRFApp.create(cfg, guidance=tiny_sd_guidance)
     trainer = Trainer(cfg, app)
     trainer.train()  # writes checkpoints
 
@@ -48,9 +48,9 @@ def test_nerf_to_mesh_pipeline(tmp_path):
     assert np.isfinite(np.asarray(ptr.params["texture_img"])).all()
 
 
-def test_latent_to_rgb_head_migration(tmp_path):
+def test_latent_to_rgb_head_migration(tmp_path, tiny_sd_guidance):
     cfg = _cfg(tmp_path, exp="mig")
-    app_lat = LatentNeRFApp.create(cfg)
+    app_lat = LatentNeRFApp.create(cfg, guidance=tiny_sd_guidance)
     params = app_lat.init_params(jax.random.key(0))
 
     rgb_cfg = dataclasses.replace(

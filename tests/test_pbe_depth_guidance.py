@@ -14,13 +14,13 @@ from tpunerf.guidance.paint_by_example import (PaintByExampleGuidance,
 
 
 @pytest.fixture(scope="module")
-def pbe():
-    return PaintByExampleGuidance.create(jax.random.key(0), tiny=True)
+def pbe(tiny_pbe_guidance):
+    return tiny_pbe_guidance
 
 
 @pytest.fixture(scope="module")
-def sdd():
-    return StableDiffusionDepthGuidance.create(jax.random.key(0), tiny=True)
+def sdd(tiny_depth_guidance):
+    return tiny_depth_guidance
 
 
 def test_clip_vision_embedder_shapes():
@@ -126,13 +126,12 @@ def test_pbe_mapper_depth_matches_hf_rule():
     assert pbe_num_mapper_blocks(CLIPVisionConfig.tiny()) == 1
 
 
-def test_depth_inpaint_unet_variant():
+def test_depth_inpaint_unet_variant(tiny_depth_guidance):
     """SD2-inpainting 9-ch UNet flavor (reference
     stable_diffusion_depth.py:59-62,:211-237): constructible, used inside
     the inpaint window of img2img_step (the output must depend on
     masked_latents only through that window), finite."""
-    sdd = StableDiffusionDepthGuidance.create(jax.random.key(0), tiny=True,
-                                              use_inpaint=True)
+    sdd = tiny_depth_guidance
     assert sdd.inpaint_unet is not None
     assert sdd.inpaint_unet.config.in_channels == 9
 
@@ -166,9 +165,8 @@ def test_depth_inpaint_unet_variant():
                                np.asarray(run_nowin(ml_b)), rtol=1e-6)
 
 
-def test_depth_encode_masked_inputs():
-    sdd = StableDiffusionDepthGuidance.create(jax.random.key(0), tiny=True,
-                                              use_inpaint=True)
+def test_depth_encode_masked_inputs(tiny_depth_guidance):
+    sdd = tiny_depth_guidance
     img = jax.random.uniform(jax.random.key(1), (1, 64, 64, 3))
     upd = jnp.zeros((1, 16, 16, 1)).at[:, 4:12, 4:12].set(1.0)
     ml = sdd.encode_masked_inputs(img, upd, jax.random.key(2))

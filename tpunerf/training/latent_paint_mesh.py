@@ -66,13 +66,15 @@ class LatentPaintMeshApp:
     @classmethod
     def create(cls, cfg: TrainConfig,
                guidance: Optional[StableDiffusionGuidance] = None,
-               pbe: Optional[PaintByExampleGuidance] = None
+               pbe: Optional[PaintByExampleGuidance] = None,
+               depth_guidance: Optional[Any] = None
                ) -> "LatentPaintMeshApp":
         latent_mode = cfg.optim.mode == 0
         use_sd = cfg.guide.use_sd
         use_depth = "depth" in cfg.guide.diffusion_name
-        depth_guidance = None
-        if use_depth:
+        if not use_depth:
+            depth_guidance = None      # only meaningful with a depth config
+        if use_depth and depth_guidance is None:
             # depth-conditioned SD backend (BASELINE config #5: nascar
             # paint-mesh with depth conditioning + batched cameras)
             from tpunerf.guidance.depth import StableDiffusionDepthGuidance
@@ -89,8 +91,14 @@ class LatentPaintMeshApp:
                 min_step=cfg.optim.min_step, max_step=cfg.optim.max_step)
             guidance.maybe_load_concept(cfg.guide.concept_name)
         if not use_sd and pbe is None:
+            # guide.model_dir names the Paint-by-Example checkpoint dir on
+            # this path (reference paint_by_example_dir, train_config.py:49)
+            # PbE keeps its own t∈[0.2, 0.6] window (reference pbe :82-83),
+            # independent of optim.min/max_step
             pbe = PaintByExampleGuidance.create(
-                jax.random.key(cfg.optim.seed), tiny=cfg.guide.tiny_diffusion)
+                jax.random.key(cfg.optim.seed),
+                tiny=cfg.guide.tiny_diffusion,
+                model_dir=cfg.guide.model_dir)
 
         scene = TexturedMeshScene.create(
             shape_path=cfg.guide.shape_path,
