@@ -162,12 +162,15 @@ def main() -> None:
         sec = _timed_scan(render_step, params, key, iters=iters)
         return B * H * W / sec
 
-    # batch-1 rate (the r01/r02 measurement) + batched B=8: camera batching
-    # amortizes per-op dispatch/fusion overheads and fills the chip — this
-    # is the achievable per-chip rate the BASELINE targets (VERDICT r2
-    # task 2: the b1 number under-reports the chip)
+    # batch-1 rate (the r01/r02 measurement) + batched B=8. Measured r3:
+    # B=8 is ~14% SLOWER per ray than B=1 on this chip (bigger working set
+    # beats the amortized dispatch), so the headline is the best of the
+    # two with the winning batch recorded — the achievable per-chip rate
+    # the BASELINE targets.
     rays_per_s_b1 = measure_rays(1, 100)
-    rays_per_s = measure_rays(8, 25)
+    rays_per_s_b8 = measure_rays(8, 25)
+    rays_per_s = max(rays_per_s_b1, rays_per_s_b8)
+    best_batch = 1 if rays_per_s_b1 >= rays_per_s_b8 else 8
     B = 1   # SDS secondary metric stays batch-1 (r01/r02-comparable)
     views = rand_poses(key, B, ViewSamplerConfig())
 
@@ -217,6 +220,8 @@ def main() -> None:
     for f in glob.glob("BENCH_r*.json"):
         try:
             rec = json.load(open(f))
+            # the driver wraps the printed JSON under "parsed"
+            rec = rec.get("parsed", rec)
             if rec.get("unit") == "rays/s":
                 prev_best = max(prev_best, float(rec.get("value", 0.0)))
         except Exception:
@@ -226,20 +231,23 @@ def main() -> None:
     out = {"metric": "latent_nerf_rays_per_s_fwd_bwd_64x64",
            "value": round(rays_per_s, 1), "unit": "rays/s",
            "vs_baseline": round(vs_baseline, 3),
-           # method record: r01/r02 measured batch=1; r03+ headline is
-           # batch=8 (8 cameras per step — fills the chip; the b1 rate is
-           # kept alongside for continuity). Per-iter time amortizes a
-           # fixed ~24 ms dispatch cost, so iteration counts are part of
-           # the measurement: b1 at 100 iters, b8 at 25.
-           "batch": 8, "scan_iters": 25,
-           "rays_per_s_b1": round(rays_per_s_b1, 1), "b1_scan_iters": 100}
+           # method record: r01/r02 measured batch=1; r03+ measures batch
+           # 1 and 8 and reports the best (batch recorded). Per-iter time
+           # amortizes a fixed ~24 ms dispatch cost, so iteration counts
+           # are part of the measurement: b1 at 100 iters, b8 at 25.
+           "batch": best_batch,
+           "scan_iters": 100 if best_batch == 1 else 25,
+           "rays_per_s_b1": round(rays_per_s_b1, 1),
+           "rays_per_s_b8": round(rays_per_s_b8, 1)}
     if sds_iters_per_s is not None:
         out["sds_iters_per_s_full_unet"] = round(sds_iters_per_s, 2)
         out["sds_scan_iters"] = 30
     try:
         out.update(mesh_metrics())
-    except Exception:
-        pass
+    except Exception as e:
+        import sys
+        print(f"mesh_metrics failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
     print(json.dumps(out))
 
 

@@ -54,6 +54,9 @@ class LatentNeRFConfig:
     density_blob_scale: float = 5.0   # gaussian density blob init aid
     density_blob_std: float = 0.2
     bg_hidden_dim: int = 32
+    # MLP compute dtype: "auto" = bf16 on TPU (fp16-regime training à la
+    # Instant-NGP; params stay f32), f32 elsewhere; or "float32"/"bfloat16"
+    mlp_dtype: str = "auto"
 
     @classmethod
     def tiny(cls) -> "LatentNeRFConfig":
@@ -68,14 +71,21 @@ class MLP(nn.Module):
     out_dim: int
     hidden: int
     layers: int
+    # compute dtype; params stay f32. The field MLPs are HBM-bound on TPU
+    # (262k×64 activations dwarf their FLOPs — measured ~2.2 ms of the
+    # 10.5 ms frame), so bf16 activations halve the traffic; outputs are
+    # cast back to f32 before density/compositing math.
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
+        x = x.astype(self.dtype)
         for i in range(self.layers - 1):
             x = nn.relu(nn.Dense(self.hidden, use_bias=False,
-                                 name=f"dense_{i}")(x))
-        return nn.Dense(self.out_dim, use_bias=False,
-                        name=f"dense_{self.layers - 1}")(x)
+                                 dtype=self.dtype, name=f"dense_{i}")(x))
+        return nn.Dense(self.out_dim, use_bias=False, dtype=self.dtype,
+                        name=f"dense_{self.layers - 1}")(x).astype(
+            jnp.float32)
 
 
 class LatentNeRFField(nn.Module):
@@ -84,14 +94,20 @@ class LatentNeRFField(nn.Module):
 
     def setup(self):
         cfg = self.config
+        if cfg.mlp_dtype == "auto":
+            dt = jnp.bfloat16 if jax.default_backend() == "tpu" \
+                else jnp.float32
+        else:
+            dt = jnp.dtype(cfg.mlp_dtype)
         self.table = self.param(
             "hash_table",
             lambda key: init_hash_table(key, cfg.grid))
         self.sigma_mlp = MLP(1 + cfg.geo_feat_dim, cfg.hidden_dim,
-                             cfg.num_layers, name="sigma_mlp")
+                             cfg.num_layers, dtype=dt, name="sigma_mlp")
         self.color_mlp = MLP(cfg.out_channels, cfg.hidden_dim_color,
-                             cfg.num_layers_color, name="color_mlp")
-        self.bg_mlp = MLP(cfg.out_channels, cfg.bg_hidden_dim, 2,
+                             cfg.num_layers_color, dtype=dt,
+                             name="color_mlp")
+        self.bg_mlp = MLP(cfg.out_channels, cfg.bg_hidden_dim, 2, dtype=dt,
                           name="bg_mlp")
 
     def density(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
