@@ -68,3 +68,21 @@ def test_face_normals_unit():
     tri = jnp.array([[[0, 0, 0], [1, 0, 0], [0, 1, 0]]], jnp.float32)
     n = cam.face_normals(tri)
     np.testing.assert_allclose(np.asarray(n), [[0, 0, 1]], atol=1e-6)
+
+
+def test_look_at_overhead_pose_orthonormal():
+    """θ=0 (camera straight above, view ∥ up) must yield a proper rotation
+    via the alternate-up fallback, not a near-zero x/y axis (r3 advisor)."""
+    M = np.asarray(cam.camera_transform_from_view(0.0, 0.3, 1.3))
+    R = M[:3, :]
+    np.testing.assert_allclose(R.T @ R, np.eye(3), atol=1e-5)
+    assert np.isfinite(M).all()
+
+
+def test_look_at_normal_pose_unchanged_by_fallback():
+    """The degenerate-up fallback must not perturb ordinary poses."""
+    M = np.asarray(cam.camera_transform_from_view(1.0, 0.7, 1.3))
+    R = M[:3, :]
+    np.testing.assert_allclose(R.T @ R, np.eye(3), atol=1e-5)
+    # x axis ⟂ up=(0,1,0) for the standard construction
+    assert abs(R[1, 0]) < 1e-6

@@ -213,3 +213,103 @@ def test_trainer_dp_resume_restores_replication(tmp_path):
     assert leaf.sharding.is_fully_replicated
     t2.train()                       # one more DP step from the restore
     assert t2.train_step_idx == 3
+
+
+# --------------------------------------------------------------------------
+# Paint apps on the mesh (VERDICT r3 task 5 — the distribution story must
+# cover the framework, not one app)
+# --------------------------------------------------------------------------
+
+def _paint_mesh_app(tmp_path, batch_size=4):
+    from tpunerf.training.config import (GuideConfig, LogConfig, OptimConfig,
+                                         RenderConfig, TrainConfig)
+    from tpunerf.training.latent_paint_mesh import LatentPaintMeshApp
+
+    cfg = TrainConfig(
+        log=LogConfig(exp_name="pm", exp_root=tmp_path),
+        render=RenderConfig(train_grid_size=16, eval_grid_size=16,
+                            batch_size=batch_size),
+        optim=OptimConfig(iters=1, seed=0, mode=0),
+        guide=GuideConfig(text="x", shape_path="sphere", tiny_diffusion=True,
+                          texture_resolution=16))
+    return cfg, LatentPaintMeshApp.create(cfg)
+
+
+def test_paint_mesh_sharded_step_equals_unsharded(layout, tmp_path):
+    """Paint-mesh train step on the (4, 2) mesh with set_layout wired:
+    sharded loss == unsharded loss, params stay replicated after the
+    gradient psum."""
+    import optax
+
+    _, app = _paint_mesh_app(tmp_path)
+    key = jax.random.key(0)
+    params = app.init_params(key)
+    views = rand_poses(key, 4, ViewSamplerConfig())
+    loss_single = float(app.loss_fn(params, views, key, jnp.asarray(0))[0])
+
+    app.set_layout(layout)
+    tx = app.make_optimizer()
+    params_s = shard_params_replicated(params, layout)
+    opt_state = shard_params_replicated(tx.init(params_s), layout)
+    views_s = shard_views(views, layout)
+
+    @jax.jit
+    def step(params, opt_state, key, views):
+        (loss, _), grads = jax.value_and_grad(
+            app.loss_fn, has_aux=True)(params, views, key, jnp.asarray(0))
+        upd, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, upd), opt_state, loss
+
+    params2, _, loss_sharded = step(params_s, opt_state, key, views_s)
+    np.testing.assert_allclose(loss_single, float(loss_sharded), rtol=1e-4)
+    leaf = jax.tree_util.tree_leaves(params2)[0]
+    assert leaf.sharding.is_fully_replicated
+
+
+def test_paint_mesh_rays_axis_shards_render_images(layout, tmp_path):
+    """The (data, rays) constraint is live inside the paint-mesh render:
+    probe the composited train image's sharding spec in-jit."""
+    _, app = _paint_mesh_app(tmp_path)
+    app.set_layout(layout)
+    params = shard_params_replicated(app.init_params(jax.random.key(0)),
+                                     layout)
+    views = shard_views(rand_poses(jax.random.key(1), 4,
+                                   ViewSamplerConfig()), layout)
+    specs = []
+
+    @jax.jit
+    def render(p, v):
+        out = app.scene.render_train(p, v)
+        jax.debug.inspect_array_sharding(
+            out["image"], callback=lambda s: specs.append(s.spec))
+        return out["image"]
+
+    img = render(params, views)
+    jax.block_until_ready(img)
+    assert specs and specs[0] == P("data", "rays")
+
+
+def test_latent_paint_app_sharded_eval_render(layout, tmp_path):
+    """The 512²-class eval render path (here 32²) of the plain paint app
+    under the mesh: render_test images shard (data, rays) and values match
+    the unsharded render."""
+    from tpunerf.training.config import (GuideConfig, LogConfig, OptimConfig,
+                                         RenderConfig, TrainConfig)
+    from tpunerf.training.latent_paint import LatentPaintApp
+
+    cfg = TrainConfig(
+        log=LogConfig(exp_name="lp", exp_root=tmp_path),
+        render=RenderConfig(train_grid_size=16, eval_grid_size=32,
+                            batch_size=4),
+        optim=OptimConfig(iters=1, seed=0),
+        guide=GuideConfig(text="x", shape_path="sphere", tiny_diffusion=True,
+                          texture_resolution=16))
+    app = LatentPaintApp.create(cfg)
+    params = app.init_params(jax.random.key(0))
+    views = rand_poses(jax.random.key(1), 4, ViewSamplerConfig())
+    ref = np.asarray(app.eval_render(params, views, (32, 32))["image"])
+
+    app.set_layout(layout)
+    out = jax.jit(lambda p, v: app.eval_render(p, v, (32, 32))["image"])(
+        shard_params_replicated(params, layout), shard_views(views, layout))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=3e-5)

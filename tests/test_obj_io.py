@@ -138,3 +138,31 @@ def test_chart_atlas_cache_roundtrip(tmp_path):
     vt2, ft2 = get_or_build_uvs(v, f, cache_dir=tmp_path)  # from cache
     np.testing.assert_array_equal(vt1, vt2)
     np.testing.assert_array_equal(ft1, ft2)
+
+
+def test_chart_overlap_edge_intersection_detected():
+    """Edge-crossing overlaps with no interior sample containment must be
+    caught by the edge-intersection test (r3 advisor: the 2-sample point
+    check alone can false-negative on thin/edge-confined overlaps)."""
+    from tpunerf.meshrep.uv_unwrap import _chart_overlaps
+
+    # two long thin triangles crossing like an X: each one's centroid and
+    # 0.6/0.2/0.2 blend lie OUTSIDE the other, but their edges cross
+    local = np.array([
+        [0.0, 0.45], [2.0, 0.55], [0.0, 0.55],     # thin horizontal sliver
+        [0.95, -0.5], [1.05, 2.0], [1.05, -0.5],   # thin vertical sliver
+    ], np.float32)
+    ft = np.array([[0, 1, 2], [3, 4, 5]], np.int32)
+    assert _chart_overlaps(local, ft)
+
+
+def test_chart_overlap_adjacent_faces_not_flagged():
+    """Faces sharing an edge (the normal chart case) must NOT be flagged —
+    collinear shared edges and shared vertices are excluded by the strict
+    sign tests."""
+    from tpunerf.meshrep.uv_unwrap import _chart_overlaps
+
+    local = np.array([[0.0, 0.0], [1.0, 0.0], [0.0, 1.0], [1.0, 1.0]],
+                     np.float32)
+    ft = np.array([[0, 1, 2], [1, 3, 2]], np.int32)
+    assert not _chart_overlaps(local, ft)

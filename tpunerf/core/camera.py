@@ -61,16 +61,26 @@ def look_at_transform(camera_position: jnp.ndarray,
 
     Applied as ``[p, 1] @ M`` (kaolin `generate_transformation_matrix`
     semantics, used at reference render.py:30). The camera z-axis points from
-    `look_at` toward `camera_position` (camera faces −z). The ε in the axis
-    normalizations keeps near-overhead poses (up ∥ z, θ→0 — reachable, the
-    sampler's theta_range starts at 0) finite instead of NaN.
+    `look_at` toward `camera_position` (camera faces −z). Near-overhead
+    poses (up ∥ z, θ→0 — reachable, the sampler's theta_range starts at 0)
+    fall back to an alternate up vector so the rotation stays orthonormal
+    instead of silently degenerating to a near-zero x/y axis (r3 advisor).
     """
     camera_position = jnp.asarray(camera_position, jnp.float32)
     look_at = jnp.broadcast_to(jnp.asarray(look_at, jnp.float32), camera_position.shape)
     up = jnp.broadcast_to(jnp.asarray(up, jnp.float32), camera_position.shape)
 
     z_axis = _normalize(camera_position - look_at)
-    x_axis = _normalize(_cross3(up, z_axis))
+    x_raw = _cross3(up, z_axis)
+    # up ∥ view direction ⇒ |up × z| ≈ 0: switch to a z-world up (same
+    # strategy as uv_unwrap._project_chart). Threshold far below any pose
+    # the samplers emit away from exact overhead, so normal poses are
+    # bit-identical.
+    alt_up = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], jnp.float32),
+                              up.shape)
+    degenerate = jnp.sum(x_raw * x_raw, axis=-1, keepdims=True) < 1e-8
+    x_raw = jnp.where(degenerate, _cross3(alt_up, z_axis), x_raw)
+    x_axis = _normalize(x_raw)
     y_axis = _cross3(z_axis, x_axis)
 
     rot = jnp.stack([x_axis, y_axis, z_axis], axis=-1)          # (..., 3, 3)

@@ -50,10 +50,12 @@ class LatentNeRFScene:
                num_compacted: int = 64, train_grid_size: int = 64,
                shape_path: Optional[str] = None, shape_scale: float = 0.6,
                dy: float = 0.0, proximal_surface: float = 0.3,
-               sdf_resolution: int = 48) -> "LatentNeRFScene":
+               sdf_resolution: int = 48,
+               mlp_dtype: str = "auto") -> "LatentNeRFScene":
         fcfg = LatentNeRFConfig.tiny() if tiny else LatentNeRFConfig()
         fcfg = dataclasses.replace(
-            fcfg, out_channels=4 if nerf_type == "latent" else 3, bound=bound)
+            fcfg, out_channels=4 if nerf_type == "latent" else 3, bound=bound,
+            mlp_dtype=mlp_dtype)
         sdf = None
         if shape_path is not None:
             from tpunerf.meshrep import shapes as shp

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 
 from tpunerf.core import camera as cam
 from tpunerf.fields import occupancy as occ_lib
+from tpunerf.kernels.rasterize import pixel_grid_ndc
 
 
 @dataclasses.dataclass(frozen=True)
@@ -59,7 +60,6 @@ def generate_rays(theta, phi, radius, height: int, width: int,
     M = cam.look_at_transform(pos, look_at, up)                  # (B, 4, 3)
     R = M[..., :3, :]            # rows: world→cam; columns map cam→world
 
-    from tpunerf.kernels.rasterize import pixel_grid_ndc
     pix = pixel_grid_ndc(height, width)                          # (P, 2)
     tanfov = jnp.tan(fovy / 2.0)
     # camera-space direction through pixel (x·tan, y·tan, −1)

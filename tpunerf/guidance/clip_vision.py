@@ -18,13 +18,16 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from tpunerf.guidance.clip_text import quick_gelu
 
-# CLIP preprocessing constants (reference stable_diffusion.py:97-100)
-CLIP_IMAGE_MEAN = jnp.array([0.48145466, 0.4578275, 0.40821073])
-CLIP_IMAGE_STD = jnp.array([0.26862954, 0.26130258, 0.27577711])
+# CLIP preprocessing constants (reference stable_diffusion.py:97-100).
+# Plain numpy on purpose: module-level jnp constants become leaked tracers
+# when the module is first imported inside a jit trace (tests/test_import_in_trace.py).
+CLIP_IMAGE_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+CLIP_IMAGE_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -36,16 +36,18 @@ from tpunerf.guidance.schedulers import (NoiseSchedule, ddim_inverse_step,
 from tpunerf.guidance.unet import UNet2DCondition, UNetConfig
 
 # Fixed 4×3 latent→RGB preview (reference stable_diffusion.py:116-122).
-LINEAR_RGB_ESTIMATOR = jnp.array([
+# Plain numpy on purpose: module-level jnp constants become leaked tracers
+# when the module is first imported inside a jit trace (tests/test_import_in_trace.py).
+LINEAR_RGB_ESTIMATOR = np.array([
     #   R       G       B
     [0.298, 0.207, 0.208],    # L1
     [0.187, 0.286, 0.173],    # L2
     [-0.158, 0.189, 0.264],   # L3
     [-0.184, -0.271, -0.473], # L4
-], jnp.float32)
+], np.float32)
 
 # "grey" latent constant (reference stable_diffusion.py:101-103).
-LATENT_GRAY = jnp.array([0.9071, -0.7711, 0.7437, 0.1510], jnp.float32)
+LATENT_GRAY = np.array([0.9071, -0.7711, 0.7437, 0.1510], np.float32)
 
 
 def latent_to_rgb_preview(latents: jnp.ndarray) -> jnp.ndarray:

@@ -6,9 +6,10 @@ depth variant with 5-channel input at stable_diffusion_depth.py:341-344;
 Paint-by-Example with 9-channel input at paint_by_example.py:643-646 — both
 are just `in_channels` here).
 
-Layout is NHWC (TPU conv-native); compute dtype is configurable (bfloat16 by
-default on TPU) with fp32 params. The module tree is written so a
-diffusers/torch checkpoint maps 1:1 through guidance/weights.py.
+Layout is NHWC (TPU conv-native); compute dtype is configurable via
+`UNetConfig.dtype` (defaults fp32 — measured on v5e: bf16 buys ≤10% on the
+conv-bound UNet, see BASELINE.md §3) with fp32 params. The module tree is
+written so a diffusers/torch checkpoint maps 1:1 through guidance/weights.py.
 """
 from __future__ import annotations
 

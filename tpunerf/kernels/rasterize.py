@@ -30,6 +30,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -163,7 +164,10 @@ def _face_rows(fv_img: jnp.ndarray, fv_z: jnp.ndarray,
     return jnp.concatenate([e0, e1, e2, z], axis=-1)         # (F, 12)
 
 
-_SEL_FILLER = jnp.array([0.0, 0.0, -1.0] + [0.0] * 9, jnp.float32)
+# Plain numpy on purpose: a module-level `jnp.array` would become a leaked
+# tracer if this module is first imported inside an active jit/scan trace
+# (the bench.py mesh_metrics crash in round 3 — see tests/test_import_in_trace.py).
+_SEL_FILLER = np.array([0.0, 0.0, -1.0] + [0.0] * 9, np.float32)
 
 
 def _face_tables(fv_img: jnp.ndarray, fv_z: jnp.ndarray,

@@ -54,6 +54,12 @@ class TexturedMeshScene:
     laplacian: Optional[UniformLaplacian] = None
     verts0_lap: Optional[jnp.ndarray] = None
     background: str = "env_sphere"   # or "white"
+    # device-mesh layout (dist.mesh.MeshLayout) — when set, every (B, H, …)
+    # image-space tensor of the renders is sharding-constrained to
+    # (data, rays): batch over data, pixel ROWS over rays (VERDICT r3
+    # task 5 — the paint apps join the distribution story; the 512² eval
+    # render is where the rays shard pays)
+    layout: Optional[Any] = None
 
     # ------------------------------------------------------------------ #
     @classmethod
@@ -154,6 +160,17 @@ class TexturedMeshScene:
             bg = bg @ LINEAR_RGB_ESTIMATOR
         return bg
 
+    def _constrain_img(self, x):
+        """Pin a (B, H, W, …) image tensor to (data, rays) when the layout
+        is set and the dims divide; no-op otherwise (values never change —
+        tested sharded == unsharded in tests/test_dist.py)."""
+        if self.layout is None or x is None:
+            return x
+        if (x.ndim < 2 or x.shape[0] % self.layout.n_data
+                or x.shape[1] % self.layout.n_rays):
+            return x
+        return self.layout.constrain_image(x)
+
     def _camera_for(self, views: ViewBatch) -> Tuple[mrender.CameraSpec, Any]:
         """Static single camera, or per-view body/head selection."""
         if self.head_camera is None:
@@ -182,8 +199,9 @@ class TexturedMeshScene:
             spec=dataclasses.replace(self.camera, look_at_height=self.dy),
             dims=(self.render_grid_size,) * 2)
 
-        mask = jax.lax.stop_gradient(out.mask)
-        image = bg_img * (1.0 - mask) + out.image * mask
+        bg_img = self._constrain_img(bg_img)
+        mask = self._constrain_img(jax.lax.stop_gradient(out.mask))
+        image = bg_img * (1.0 - mask) + self._constrain_img(out.image) * mask
 
         result = {"image": image, "mask": mask, "background": bg_img,
                   "foreground": out.image, "soft_mask": out.mask,
@@ -192,8 +210,8 @@ class TexturedMeshScene:
         if self.latent_mode and self.render_grid_size != self.latent_size:
             for k in ("image", "mask", "background", "foreground", "depth"):
                 if result.get(k) is not None:
-                    result[k] = texk.resize_bicubic(
-                        result[k], self.latent_size, self.latent_size)
+                    result[k] = self._constrain_img(texk.resize_bicubic(
+                        result[k], self.latent_size, self.latent_size))
 
         if self.laplacian is not None and disp is not None:
             result["laplacian_loss"] = self.laplacian.loss(
@@ -259,7 +277,9 @@ class TexturedMeshScene:
             params, views, texture, dims=dims, white_background=True,
             displacement=disp, compute_normals=with_lighting,
             lights=params.get("lights") if with_lighting else None)
-        return {"image": out.image, "texture_map": texture, "mask": out.mask,
+        return {"image": self._constrain_img(out.image),
+                "texture_map": texture,
+                "mask": self._constrain_img(out.mask),
                 "normals": out.normals, "lighting": out.lighting}
 
     # ------------------------------------------------------------------ #

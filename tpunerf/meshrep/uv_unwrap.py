@@ -143,14 +143,40 @@ def _project_chart(vertices: np.ndarray, faces: np.ndarray,
     return local.astype(np.float32), vids, ft_local
 
 
+def _edges_properly_intersect(tris: np.ndarray) -> bool:
+    """Any two triangle edges of the chart crossing in their interiors?
+    Catches overlaps the point-sample test misses (thin slivers, overlaps
+    confined to edge neighborhoods — r3 advisor). Strict sign tests exclude
+    shared endpoints and collinear shared edges of adjacent faces."""
+    e = np.concatenate([tris[:, [0, 1]], tris[:, [1, 2]], tris[:, [2, 0]]],
+                       axis=0)                            # (E, 2, 2)
+    a1, a2 = e[:, 0], e[:, 1]
+
+    def cr(o, p, q):          # cross(p−o, q−o), broadcast (E,1,2)×(1,E,2)
+        return ((p[..., 0] - o[..., 0]) * (q[..., 1] - o[..., 1])
+                - (p[..., 1] - o[..., 1]) * (q[..., 0] - o[..., 0]))
+
+    A1, A2 = a1[:, None], a2[:, None]                     # (E, 1, 2)
+    B1, B2 = a1[None], a2[None]                           # (1, E, 2)
+    d1 = cr(A1, A2, B1)
+    d2 = cr(A1, A2, B2)
+    d3 = cr(B1, B2, A1)
+    d4 = cr(B1, B2, A2)
+    eps = 1e-12
+    hit = ((d1 * d2 < -eps) & (d3 * d4 < -eps))
+    return bool(np.triu(hit, k=1).any())
+
+
 def _chart_overlaps(local: np.ndarray, ft_local: np.ndarray,
                     samples: int = 2) -> bool:
-    """Conservative self-overlap check: do any two triangles of the chart
-    contain each other's interior sample points?"""
+    """Conservative self-overlap check: interior sample-point containment
+    between triangle pairs, plus a proper edge-edge intersection test."""
     tris = local[ft_local]                                # (Fc, 3, 2)
     Fc = len(tris)
     if Fc <= 1:
         return False
+    if _edges_properly_intersect(tris):
+        return True
     # interior points (centroid + midpoint-ish blends)
     wts = np.array([[1 / 3, 1 / 3, 1 / 3], [0.6, 0.2, 0.2]])[:samples]
     pts = np.einsum("sw,fwd->fsd", wts, tris).reshape(-1, 2)  # (Fc·s, 2)

@@ -32,6 +32,10 @@ class RenderConfig:
     # volumetric renderer
     num_samples_per_ray: int = 128
     bound: float = 1.0                      # scene AABB half-extent
+    # Field-MLP compute dtype: "auto" = bf16 on TPU / f32 elsewhere,
+    # or "float32"/"bfloat16" explicitly. Params stay f32 either way.
+    # Pin "float32" for the reference allclose parity gate (PARITY.md).
+    mlp_dtype: str = "auto"
     # NeRF→mesh extraction stage (scripts/train_latent_nerf_mesh.py)
     mc_resolution: int = 128                # marching-tets grid resolution
     iso_level: float = 10.0                 # density iso-surface threshold
@@ -55,6 +59,10 @@ class GuideConfig:
     guidance_scale: float = 100.0
     num_inference_steps: int = 50
     image: Optional[Path] = None            # reference image (paint-mesh)
+    # pretrained CLIP vision tower for the semantic CLIP losses (a
+    # transformers CLIPVisionModelWithProjection checkpoint dir); without
+    # it the use_clip tower is random-init (smoke-test only)
+    clip_model_dir: Optional[Path] = None
     sampled_texture: Optional[Path] = None  # init texture (paint-mesh)
     use_sd: bool = True                     # StableDiffusion vs PaintByExample
     append_neg_text: bool = False

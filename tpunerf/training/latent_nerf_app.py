@@ -53,7 +53,8 @@ class LatentNeRFApp:
             train_grid_size=cfg.render.train_grid_size,
             shape_path=cfg.guide.shape_path,
             shape_scale=cfg.guide.shape_scale, dy=cfg.guide.dy,
-            proximal_surface=cfg.guide.proximal_surface)
+            proximal_surface=cfg.guide.proximal_surface,
+            mlp_dtype=cfg.render.mlp_dtype)
         scene.latent_size = guidance.latent_size
         neg = cfg.guide.negative_text if cfg.guide.append_neg_text else ""
         text_z = directional_text_embeddings(guidance, cfg.guide.text,

@@ -89,6 +89,12 @@ class LatentPaintApp:
         return cls(cfg=cfg, guidance=guidance, scene=scene, text_z=text_z)
 
     # ------------------------------------------------------------------ #
+    def set_layout(self, layout) -> None:
+        """Wire the device-mesh layout into the renderer: (B, H, …) image
+        tensors get (data, rays)-constrained — batch over data, pixel rows
+        over rays (SURVEY.md §5.7; VERDICT r3 task 5)."""
+        self.scene.layout = layout
+
     def init_params(self, key: jax.Array) -> Any:
         return self.scene.init_params(key)
 

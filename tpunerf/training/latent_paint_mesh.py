@@ -50,6 +50,46 @@ def _load_image(path: Path, size: int) -> jnp.ndarray:
     return jnp.asarray(np.asarray(img, np.float32) / 255.0)[None]
 
 
+def _make_clip_embedder(cfg) -> Tuple[Any, Any]:
+    """CLIP vision tower for the semantic CLIP losses (reference init_clip,
+    latent_paint_mesh/training/trainer.py:172-180 — pretrained ViT-L).
+
+    Pretrained weights load from `guide.clip_model_dir` (a transformers
+    `CLIPVisionModelWithProjection` checkpoint dir). WITHOUT it the tower is
+    random-init, which makes the CLIP loss noise guidance — fine for smoke
+    tests, wrong for real runs (r3 advisor), so a warning is logged."""
+    vcfg = (CLIPVisionConfig.tiny() if cfg.guide.tiny_diffusion
+            else CLIPVisionConfig.vit_l_14())
+    embedder = CLIPImageEmbedder(vcfg)
+    probe = jnp.zeros((1, vcfg.image_size, vcfg.image_size, 3))
+    if cfg.guide.clip_model_dir is not None:
+        from tpunerf.guidance import weights
+        sd = None
+        for base in ("model", "pytorch_model"):
+            try:
+                sd = weights._load_state_dict(
+                    Path(cfg.guide.clip_model_dir) / base)
+                break
+            except FileNotFoundError:
+                continue
+        if sd is None:
+            raise FileNotFoundError(
+                f"no model(.safetensors/.bin) under {cfg.guide.clip_model_dir}")
+        expected = jax.eval_shape(
+            lambda: embedder.init(jax.random.key(0), probe))
+        eparams = weights._check_tree(
+            weights.convert_clip_vision(sd, vcfg), expected, "clip_vision")
+    else:
+        if not cfg.guide.tiny_diffusion:
+            import logging
+            logging.getLogger("tpunerf").warning(
+                "use_clip without guide.clip_model_dir: the CLIP tower is "
+                "RANDOM-INIT — its loss is noise guidance, smoke-test only")
+        eparams = jax.jit(embedder.init)(jax.random.key(cfg.optim.seed),
+                                         probe)
+    return embedder, eparams
+
+
 @dataclasses.dataclass
 class LatentPaintMeshApp:
     cfg: TrainConfig
@@ -126,6 +166,14 @@ class LatentPaintMeshApp:
         else:
             text_z = text_z_head = jnp.zeros((1, 2, 1, 1))
 
+        if cfg.optim.use_clip and pbe is not None and cfg.guide.image is None:
+            # the low-t CLIP branch compares against the reference image;
+            # without one, clip stays None and the use_clip flag would trip
+            # an assert at trace time (r3 advisor)
+            raise ValueError(
+                "optim.use_clip with the Paint-by-Example backend requires "
+                "guide.image (the reference exemplar the CLIP loss compares "
+                "against — reference paint_by_example.py:658-664)")
         image_embeds = None
         ref_image = None
         clip = None
@@ -137,24 +185,11 @@ class LatentPaintMeshApp:
                 if cfg.optim.use_clip:
                     # CLIP tower for the PbE low-t CLIP-loss branch
                     # (reference pbe :658-664, clip_model from init_clip)
-                    vcfg = (CLIPVisionConfig.tiny()
-                            if cfg.guide.tiny_diffusion
-                            else CLIPVisionConfig.vit_l_14())
-                    embedder = CLIPImageEmbedder(vcfg)
-                    eparams = jax.jit(embedder.init)(
-                        jax.random.key(cfg.optim.seed),
-                        jnp.zeros((1, vcfg.image_size, vcfg.image_size, 3)))
-                    clip = (embedder, eparams)
+                    clip = _make_clip_embedder(cfg)
             else:
                 # CLIP tower for the train_render_clip path
                 # (reference init_clip, trainer.py:172-180)
-                vcfg = (CLIPVisionConfig.tiny() if cfg.guide.tiny_diffusion
-                        else CLIPVisionConfig.vit_l_14())
-                embedder = CLIPImageEmbedder(vcfg)
-                eparams = jax.jit(embedder.init)(
-                    jax.random.key(cfg.optim.seed),
-                    jnp.zeros((1, vcfg.image_size, vcfg.image_size, 3)))
-                clip = (embedder, eparams)
+                clip = _make_clip_embedder(cfg)
 
         return cls(cfg=cfg, scene=scene, guidance=guidance, pbe=pbe,
                    text_z=text_z, text_z_head=text_z_head,
@@ -162,6 +197,12 @@ class LatentPaintMeshApp:
                    clip=clip, depth_guidance=depth_guidance)
 
     # ------------------------------------------------------------------ #
+    def set_layout(self, layout) -> None:
+        """Wire the device-mesh layout into the renderer: (B, H, …) image
+        tensors get (data, rays)-constrained — batch over data, pixel rows
+        over rays (SURVEY.md §5.7; VERDICT r3 task 5)."""
+        self.scene.layout = layout
+
     def init_params(self, key: jax.Array) -> Any:
         tex_lat = tex_rgb = None
         if self.cfg.guide.sampled_texture is not None:
@@ -223,7 +264,8 @@ class LatentPaintMeshApp:
                 main = self.pbe.train_step_loss(
                     k_sds, image, mask, self.image_embeds,
                     guidance_scale=cfg.guide.guidance_scale,
-                    use_clip=cfg.optim.use_clip, clip_embed_fn=clip_fn,
+                    use_clip=cfg.optim.use_clip and clip_fn is not None,
+                    clip_embed_fn=clip_fn,
                     ref_image01=self.ref_image, clip_image_size=clip_size)
         elif mode == 1:
             main = self._tada_loss(k_sds, render, views)
