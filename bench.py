@@ -139,12 +139,25 @@ def main() -> None:
     key = jax.random.key(0)
     params = scene.init_params(key)
 
-    # warm the occupancy grid so pruning reflects steady-state training
+    # Warm the occupancy grid to EMA steady state: from the optimistic
+    # init (grid=1.0, decay 0.95) empty space needs ~90 updates to decay
+    # below the 0.01 threshold. r1-r3 warmed only 4 updates, i.e. measured
+    # a 100%-occupied grid — the training-time steady state is the blob
+    # the density init actually occupies, which the r4 sparse window
+    # sweep exploits. Both states are recorded: `value` = steady state
+    # (the rate a real run sustains), `rays_per_s_occ_full` = the old
+    # fully-occupied protocol (r3-comparable).
     upd = jax.jit(scene.update_occupancy)
     for i in range(4):
         params = upd(params, jax.random.fold_in(key, i))
+    params_full = params                    # 100%-occupied grid (r3 proto)
+    for i in range(4, 100):
+        params = upd(params, jax.random.fold_in(key, i))
+    occ_frac = float(jnp.mean(
+        (params["occ_grid"] > scene.occ_cfg.density_threshold)
+        .astype(jnp.float32)))
 
-    def measure_rays(B, iters):
+    def measure_rays(B, iters, prm):
         views = rand_poses(key, B, ViewSamplerConfig())
 
         def render_step(p, sub, acc):
@@ -159,7 +172,7 @@ def main() -> None:
                        for g in jax.tree_util.tree_leaves(grads))
             return loss + 1e-20 * gsum + 1e-20 * acc
 
-        sec = _timed_scan(render_step, params, key, iters=iters)
+        sec = _timed_scan(render_step, prm, key, iters=iters)
         return B * H * W / sec
 
     # batch-1 rate (the r01/r02 measurement) + batched B=8. Measured r3:
@@ -167,8 +180,9 @@ def main() -> None:
     # beats the amortized dispatch), so the headline is the best of the
     # two with the winning batch recorded — the achievable per-chip rate
     # the BASELINE targets.
-    rays_per_s_b1 = measure_rays(1, 100)
-    rays_per_s_b8 = measure_rays(8, 25)
+    rays_per_s_b1 = measure_rays(1, 100, params)
+    rays_per_s_b8 = measure_rays(8, 25, params)
+    rays_per_s_occ_full = measure_rays(1, 100, params_full)
     rays_per_s = max(rays_per_s_b1, rays_per_s_b8)
     best_batch = 1 if rays_per_s_b1 >= rays_per_s_b8 else 8
     B = 1   # SDS secondary metric stays batch-1 (r01/r02-comparable)
@@ -238,7 +252,12 @@ def main() -> None:
            "batch": best_batch,
            "scan_iters": 100 if best_batch == 1 else 25,
            "rays_per_s_b1": round(rays_per_s_b1, 1),
-           "rays_per_s_b8": round(rays_per_s_b8, 1)}
+           "rays_per_s_b8": round(rays_per_s_b8, 1),
+           # r3-protocol point (grid warmed only 4 EMA updates → 100%
+           # occupied: sparse window sweep disabled, compaction saturated)
+           "rays_per_s_occ_full": round(rays_per_s_occ_full, 1),
+           "occ_frac_steady": round(occ_frac, 4),
+           "occ_warm_updates": 100}
     if sds_iters_per_s is not None:
         out["sds_iters_per_s_full_unet"] = round(sds_iters_per_s, 2)
         out["sds_scan_iters"] = 30

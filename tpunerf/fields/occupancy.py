@@ -55,9 +55,11 @@ def occupied(grid: jnp.ndarray, x: jnp.ndarray,
              cfg: OccupancyGridConfig) -> jnp.ndarray:
     from tpunerf.kernels import occgrid as occ_kernel
     if occ_kernel.supports_pallas(cfg.resolution):
-        # bit-pack the thresholded field (cheap, fuses) and do the 0.5M
-        # random lookups in VMEM — XLA's per-element gather costs ~9 ns
-        packed = occ_kernel.pack_bits(grid > cfg.density_threshold)
+        # bit-pack the thresholded field (cheap, fuses) into 16³-cube
+        # windows and do the 0.5M random lookups in VMEM — XLA's
+        # per-element gather costs ~9 ns
+        packed = occ_kernel.pack_bits_blocked(grid > cfg.density_threshold,
+                                              cfg.resolution)
         return occ_kernel.occupancy_lookup_packed(x, packed, cfg.resolution,
                                                   cfg.bound)
     return lookup(grid, x, cfg) > cfg.density_threshold

@@ -16,8 +16,9 @@ Strategy:
   where the index falls in the window.
 
 Measured (v5e, L=12 T=2048 F=2, 262k points): fwd ≈ 2.1 ms with the F=2
-packed-pair kernel (r3; 5.1 ms unpacked, kept for F≠2), bwd ≈ 4.4 ms — vs
-14.6 ms/54 ms for the XLA-gather/scatter formulations they replace. The
+packed-pair kernel (r3; 5.1 ms unpacked, kept for F≠2), bwd ≈ 2.9 ms
+(r4; 4.9 ms with the r3 dot order) — vs 14.6 ms/54 ms for the
+XLA-gather/scatter formulations they replace. The
 packed forward stores each slot's two features as a bf16 pair in one f32
 lane (`_pack_table_pairs`): the window sweep then needs one gather + one
 bitwise select per corner-window instead of two gathers + weighted
@@ -26,10 +27,13 @@ accumulate, and the trilinear weighting happens once per corner after a
 tables); the backward is exact f32 w.r.t. the unrounded table
 (straight-through the rounding, like fp16-table torch-ngp).
 
-The backward sits at the MXU shape floor for this decomposition: per
-corner the (128×CH)@(CH×F·LO) contraction has N = F·LO = 32, a 4×-padded
-MXU N-dim — ~206 useful GFLOP/frame → ~4.4 ms at 25% N-utilization. Fixing
-it needs a different scatter factorization, not scheduling.
+Backward cost split (measured r4, scripts/exp_hash_bwd.py): the one-hot
+construction is ~2.7 ms of VPU work that OVERLAPS the MXU contractions;
+dot operand order decides the MXU side — payload-first (F·LO × CH)·ohᵀ
+puts the full 128 lanes on the output and runs the whole backward at
+2.9 ms (VPU-bound), where the r3 (oh, payload) order measured 4.9 ms
+(~10% MXU utilization). The structural floor for this decomposition is
+the one-hot build itself (≈(128+3·LO)·CH VPU elements per corner-level).
 
 Backward (table gradient) is a second Pallas kernel: per level, the
 scatter-add dL/dtable[idx] += w·g is expressed as a one-hot matmul on the
@@ -359,9 +363,15 @@ def _bwd_kernel(res_ref, dense_ref, xp_ref, yp_ref, zp_ref, g_ref, out_ref, *,
         payload = jnp.concatenate(
             [(oh_lo * (w * g)).astype(jnp.bfloat16) for g in gf],
             axis=0)                                        # (F·LO, CH)
-        acc = acc + jax.lax.dot_general(
-            oh_hi, payload, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)            # (128, F·LO)
+        # payload-first A·Bᵀ with the 128-wide one-hot as RHS puts the full
+        # 128 lanes on the output N dim — measured 4.9 → 2.9 ms for the
+        # whole backward vs the (oh_hi, payload) order (the r3 form left
+        # the MXU at ~10% utilization; scripts/exp_hash_bwd.py). The tiny
+        # (32, 128) result transposes on accumulate.
+        d = jax.lax.dot_general(
+            payload, oh_hi, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)            # (F·LO, 128)
+        acc = acc + d.T
 
     @pl.when(chunk == 0)
     def _():

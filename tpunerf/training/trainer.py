@@ -30,6 +30,22 @@ from tpunerf.utils import make_path, seed_everything, tensor2numpy
 from tpunerf.utils.logging import MetricsWriter, init_logger
 
 
+def _device_memory_scalars() -> Dict[str, float]:
+    """Peak/in-use device memory (MB) when the backend exposes it
+    (SURVEY.md §5.5; production-shape memory headroom record for
+    BASELINE.md). Empty dict on backends without memory_stats."""
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+    except Exception:
+        return {}
+    out = {}
+    if "peak_bytes_in_use" in stats:
+        out["peak_mem_mb"] = round(stats["peak_bytes_in_use"] / 2 ** 20, 1)
+    if "bytes_in_use" in stats:
+        out["mem_mb"] = round(stats["bytes_in_use"] / 2 ** 20, 1)
+    return out
+
+
 class TrainableApp(Protocol):
     """What an application provides to the shared trainer."""
 
@@ -216,7 +232,8 @@ class Trainer:
                     steps_per_s=(steps / dt) if dt > 0 else 0.0,
                     rays_per_s=(steps * cfg.render.batch_size *
                                 cfg.render.train_grid_size ** 2 / dt)
-                    if dt > 0 else 0.0)
+                    if dt > 0 else 0.0,
+                    **_device_memory_scalars())
 
             if self.train_step_idx % cfg.log.save_interval == 0:
                 self.save_checkpoint(full=True)
