@@ -285,3 +285,30 @@ def test_mlp_dtype_flows_from_train_config():
     cfg.guide.tiny_diffusion = True
     app = LatentNeRFApp.create(cfg)
     assert app.scene.field.config.mlp_dtype == "bfloat16"
+
+
+def test_trunc_exp_forward_saturates_no_inf():
+    """Unclamped exp overflows f32 at x≈88.7 and an inf σ NaNs the
+    compositing fwd+bwd (r4 production-run failure). Forward saturates at
+    e¹⁵ and the whole render stays finite + differentiable."""
+    assert np.isfinite(float(trunc_exp(jnp.asarray(1000.0))))
+    assert float(trunc_exp(jnp.asarray(1000.0))) == pytest.approx(
+        np.exp(15.0), rel=1e-6)
+
+    def sigma_color(scale):
+        def fn(x, d):
+            return trunc_exp(100.0 * scale * jnp.sum(x, -1)), \
+                jnp.ones((*x.shape[:-1], 4))
+        return fn
+
+    rays = vr.generate_rays(jnp.array([1.0]), jnp.array([0.5]),
+                            jnp.array([1.3]), 8, 8, fovy=1.0)
+    cfg = vr.MarchConfig(num_samples=16, num_compacted=8)
+
+    def loss(scale):
+        res = vr.render_rays(sigma_color(scale), rays, jax.random.key(0),
+                             cfg, perturb=False)
+        return jnp.sum(res.image ** 2) + jnp.sum(res.weights_sum)
+
+    v, g = jax.value_and_grad(loss)(jnp.float32(1.0))
+    assert np.isfinite(float(v)) and np.isfinite(float(g))

@@ -93,3 +93,46 @@ def test_single_frame_fwd_bwd_finite(tmp_path, tiny_sd_guidance):
     leaves = jax.tree_util.tree_leaves(grads["field"])
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
     assert sum(float(jnp.abs(l).sum()) for l in leaves) > 0
+
+
+def test_latent_to_rgb_checkpoint_migration(tmp_path, tiny_sd_guidance):
+    """The REAL eval-config-#4 stage-2 path: train latent, checkpoint, load
+    that checkpoint into an RGB app via --optim.ckpt, train a refine step.
+    Regression for the r4 production-run failure: migrate_params fixed only
+    the color head — the bg_mlp's 4-channel final layer tripped a
+    ScopeParamShapeError when the real checkpoint loaded."""
+    cfg = _cfg(tmp_path)
+    cfg = dataclasses.replace(
+        cfg, optim=dataclasses.replace(cfg.optim, iters=4))
+    app = LatentNeRFApp.create(cfg, guidance=tiny_sd_guidance)
+    t1 = Trainer(cfg, app)
+    t1.train()
+    ckpt = sorted((t1.ckpt_dir).glob("step_*.ckpt"))[-1]
+
+    cfg2 = _cfg(tmp_path, render=RenderConfig(
+        train_grid_size=16, eval_grid_size=32, num_samples_per_ray=32,
+        nerf_type="rgb"))
+    cfg2 = dataclasses.replace(
+        cfg2,
+        log=dataclasses.replace(cfg2.log, exp_name="nerf_rgb"),
+        optim=dataclasses.replace(cfg2.optim, iters=5, ckpt=ckpt))
+    app2 = LatentNeRFApp.create(cfg2, guidance=dataclasses.replace(
+        tiny_sd_guidance, latent_mode=False))
+    t2 = Trainer(cfg2, app2)
+    # geometry carried over from the latent run
+    np.testing.assert_array_equal(
+        np.asarray(t2.params["field"]["params"]["hash_table"]),
+        np.asarray(t1.params["field"]["params"]["hash_table"]))
+    table_before = np.asarray(
+        t2.params["field"]["params"]["hash_table"]).copy()
+    t2.train()      # refine steps run (incl. the bg_mlp render path)
+    # refine gradients actually flow into the migrated geometry (a sane
+    # field; the r4 production stress run showed a garbage stage-1 field
+    # saturates the sigmoid head to zero grads — that is data, not plumbing)
+    assert np.abs(np.asarray(
+        t2.params["field"]["params"]["hash_table"]) - table_before).max() > 0
+    out = app2.eval_render(t2.params, __import__(
+        "tpunerf.core.views", fromlist=["circle_poses"]).circle_poses(
+        1, t2.view_cfg), (32, 32))
+    assert out["image"].shape == (1, 32, 32, 3)
+    assert np.isfinite(np.asarray(out["image"])).all()

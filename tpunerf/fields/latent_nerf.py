@@ -25,11 +25,18 @@ from tpunerf.fields.encoding import (HashGridConfig, hash_encode,
 
 @jax.custom_vjp
 def trunc_exp(x):
-    return jnp.exp(x)
+    # Forward clamped like the backward: unclamped exp overflows f32 at
+    # x≈88.7 and an inf σ NaNs the compositing fwd AND grads (reproduced
+    # in the r4 production run: random-weight SDS drift pushed the σ head
+    # past 88 by step ~100). e¹⁵ ≈ 3.3e6 already saturates alpha at any
+    # reachable dt, so the clamp is semantically free; torch-ngp's
+    # trunc_exp clamps only the backward and relies on real guidance
+    # never reaching the overflow region (PARITY.md).
+    return jnp.exp(jnp.clip(x, -15.0, 15.0))
 
 
 def _trunc_exp_fwd(x):
-    return jnp.exp(x), x
+    return jnp.exp(jnp.clip(x, -15.0, 15.0)), x
 
 
 def _trunc_exp_bwd(x, g):

@@ -119,8 +119,12 @@ def _flash_sdpa(q, k, v, head_dim):
     from jax.experimental.pallas.ops.tpu.flash_attention import (
         flash_attention, BlockSizes)
     *_, N, D = q.shape
-    blk = min(N, 1024)
-    blk_bwd = min(N, 512)
+    # scoped-VMEM budget: 1024-wide blocks overflow the 16 MB stack once
+    # the (padded) head dim exceeds 128 (observed: D=512 VAE attention
+    # crashed compile at 19 MB) — scale the block width down with D
+    d_pad = D + (-D) % 128
+    blk = min(N, max(256, 1024 * 128 // d_pad))
+    blk_bwd = min(N, max(256, 512 * 128 // d_pad))
     bs = BlockSizes(
         block_q=blk, block_k_major=blk, block_k=blk, block_b=1,
         block_q_major_dkv=blk_bwd, block_k_major_dkv=blk_bwd,

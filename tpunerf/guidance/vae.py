@@ -79,11 +79,14 @@ class VAEAttention(nn.Module):
         k = nn.Dense(C, dtype=self.dtype, name="to_k")(h)
         v = nn.Dense(C, dtype=self.dtype, name="to_v")(h)
         N = H * W
-        if (N >= 2048 and N % 1024 == 0
+        if (N >= 2048 and N % 1024 == 0 and C <= 128
                 and jax.default_backend() == "tpu"):
             # single-head long self-attention: same HBM argument as the
             # UNet's 64² layers (unet.py:_flash_sdpa) — don't materialize
-            # the (B, N, N) matrix
+            # the (B, N, N) matrix. Wide single-head attention (SD VAE
+            # mid-block: C=512) stays on the naive path: its N² matrix
+            # (67 MB f32 at 64²) is cheaper than flash blocks that must
+            # shrink 4× to fit scoped VMEM at that head width
             from tpunerf.guidance.unet import _flash_sdpa
             h = _flash_sdpa(q[:, None].astype(jnp.float32),
                             k[:, None].astype(jnp.float32),

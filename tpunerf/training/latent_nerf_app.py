@@ -71,6 +71,21 @@ class LatentNeRFApp:
     def init_params(self, key: jax.Array) -> Any:
         return self.scene.init_params(key)
 
+    # Large frozen guidance params, threaded through the Trainer's jitted
+    # step as arguments — closed-over multi-GB arrays become HLO constants
+    # and the full-UNet step then exceeds the compile service's time limit
+    # (trainer.py:_build_train_step).
+    def frozen_refs(self) -> Any:
+        return {"unet": self.guidance.unet_params,
+                "vae": self.guidance.vae_params}
+
+    def swap_frozen(self, refs: Any) -> Any:
+        g = self.guidance
+        prev = {"unet": g.unet_params, "vae": g.vae_params}
+        g.unet_params = refs["unet"]
+        g.vae_params = refs["vae"]
+        return prev
+
     def loss_fn(self, params: Any, views: ViewBatch, key: jax.Array,
                 step: jnp.ndarray) -> Tuple[jnp.ndarray, Dict[str, Any]]:
         k_render, k_sds = jax.random.split(key)
@@ -132,14 +147,21 @@ class LatentNeRFApp:
         head's final layer — the volumetric analog of the mesh apps'
         latent→RGB texture migration (SURVEY.md §5.4)."""
         expect = self.scene.field.config.out_channels
-        try:
-            cmlp = params["field"]["params"]["color_mlp"]
-            last = sorted(cmlp.keys())[-1]
-            kern = np.asarray(cmlp[last]["kernel"])
-        except (KeyError, TypeError):
-            return params
-        if kern.shape[-1] != expect:
-            fresh = self.scene.init_params(jax.random.key(0))
-            params["field"]["params"]["color_mlp"][last] = \
-                fresh["field"]["params"]["color_mlp"][last]
+        fresh = None
+        # every output head whose final layer is channel-count-dependent:
+        # the color head AND the background MLP (r4: migrating a real 5k
+        # latent checkpoint tripped a ScopeParamShapeError on bg_mlp,
+        # which the color-only hook missed)
+        for head in ("color_mlp", "bg_mlp"):
+            try:
+                mlp = params["field"]["params"][head]
+                last = sorted(mlp.keys())[-1]
+                kern = np.asarray(mlp[last]["kernel"])
+            except (KeyError, TypeError):
+                continue
+            if kern.shape[-1] != expect:
+                if fresh is None:
+                    fresh = self.scene.init_params(jax.random.key(0))
+                params["field"]["params"][head][last] = \
+                    fresh["field"]["params"][head][last]
         return params

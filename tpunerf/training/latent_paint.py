@@ -98,6 +98,19 @@ class LatentPaintApp:
     def init_params(self, key: jax.Array) -> Any:
         return self.scene.init_params(key)
 
+    # Large frozen guidance params as jit arguments (not closure constants)
+    # — see trainer.py:_build_train_step.
+    def frozen_refs(self) -> Any:
+        return {"unet": self.guidance.unet_params,
+                "vae": self.guidance.vae_params}
+
+    def swap_frozen(self, refs: Any) -> Any:
+        g = self.guidance
+        prev = {"unet": g.unet_params, "vae": g.vae_params}
+        g.unet_params = refs["unet"]
+        g.vae_params = refs["vae"]
+        return prev
+
     def loss_fn(self, params: Any, views: ViewBatch, key: jax.Array,
                 step: jnp.ndarray) -> Tuple[jnp.ndarray, Dict[str, Any]]:
         render = self.scene.render_train(params, views)

@@ -203,6 +203,52 @@ class LatentPaintMeshApp:
         over rays (SURVEY.md §5.7; VERDICT r3 task 5)."""
         self.scene.layout = layout
 
+    # Large frozen guidance params as jit arguments (not closure constants)
+    # — see trainer.py:_build_train_step. Covers whichever backends this
+    # config instantiated (SD / depth+inpaint / PbE / CLIP tower).
+    def frozen_refs(self) -> Any:
+        refs: Dict[str, Any] = {}
+        if self.guidance is not None:
+            refs["sd"] = {"unet": self.guidance.unet_params,
+                          "vae": self.guidance.vae_params}
+        if self.depth_guidance is not None:
+            d = self.depth_guidance
+            refs["depth"] = {"unet": d.unet_params, "vae": d.vae_params,
+                             "inpaint": d.inpaint_unet_params}
+        if self.pbe is not None:
+            refs["pbe"] = {"unet": self.pbe.unet_params,
+                           "vae": self.pbe.vae_params,
+                           "enc": self.pbe.image_encoder_params}
+        if self.clip is not None:
+            refs["clip"] = self.clip[1]
+        return refs
+
+    def swap_frozen(self, refs: Any) -> Any:
+        prev: Dict[str, Any] = {}
+        if "sd" in refs:
+            g = self.guidance
+            prev["sd"] = {"unet": g.unet_params, "vae": g.vae_params}
+            g.unet_params = refs["sd"]["unet"]
+            g.vae_params = refs["sd"]["vae"]
+        if "depth" in refs:
+            d = self.depth_guidance
+            prev["depth"] = {"unet": d.unet_params, "vae": d.vae_params,
+                             "inpaint": d.inpaint_unet_params}
+            d.unet_params = refs["depth"]["unet"]
+            d.vae_params = refs["depth"]["vae"]
+            d.inpaint_unet_params = refs["depth"]["inpaint"]
+        if "pbe" in refs:
+            p = self.pbe
+            prev["pbe"] = {"unet": p.unet_params, "vae": p.vae_params,
+                           "enc": p.image_encoder_params}
+            p.unet_params = refs["pbe"]["unet"]
+            p.vae_params = refs["pbe"]["vae"]
+            p.image_encoder_params = refs["pbe"]["enc"]
+        if "clip" in refs:
+            prev["clip"] = self.clip[1]
+            self.clip = (self.clip[0], refs["clip"])
+        return prev
+
     def init_params(self, key: jax.Array) -> Any:
         tex_lat = tex_rgb = None
         if self.cfg.guide.sampled_texture is not None:

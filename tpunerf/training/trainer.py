@@ -148,6 +148,41 @@ class Trainer:
     # ------------------------------------------------------------------ #
     def _build_train_step(self):
         tx, app = self.tx, self.app
+        get_refs = getattr(app, "frozen_refs", None)
+        swap = getattr(app, "swap_frozen", None)
+
+        if get_refs is not None and swap is not None:
+            # Thread the app's big FROZEN params (SD UNet ≈ 3.4 GB f32)
+            # through jit as ARGUMENTS: closed-over jnp arrays become HLO
+            # constants, and with the full-size UNet embedded the remote
+            # compile of the step program exceeded the TPU compile
+            # service's ~30-min limit (reproduced twice, r4). bench.py's
+            # docstring documents the same hazard. During tracing the
+            # tracer refs are swapped into the guidance objects and the
+            # real arrays restored before returning.
+            frozen = get_refs()
+            if self.layout is not None:
+                frozen = jax.device_put(frozen, self.layout.replicated())
+            self._frozen_refs = frozen
+
+            @jax.jit
+            def step_frozen(params, opt_state, key, views, step, refs):
+                prev = swap(refs)
+                try:
+                    (loss, aux), grads = jax.value_and_grad(
+                        app.loss_fn, has_aux=True)(params, views, key, step)
+                finally:
+                    swap(prev)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                gnorm = optax.global_norm(grads)
+                return params, opt_state, loss, gnorm, aux
+
+            def step_fn(params, opt_state, key, views, step):
+                return step_frozen(params, opt_state, key, views, step,
+                                   self._frozen_refs)
+
+            return step_fn
 
         @jax.jit
         def step_fn(params, opt_state, key, views, step):
@@ -304,8 +339,8 @@ class Trainer:
                 export_dir = make_path(self.exp_dir / "mesh")
                 self.app.export(self.params, export_dir)
                 self.logger.info(f"mesh exported to {export_dir}")
-            except NotImplementedError:
-                pass
+            except NotImplementedError as e:
+                self.logger.info(f"mesh export skipped: {e}")
 
     # ------------------------------------------------------------------ #
     def _log_train_render(self, aux: Dict[str, Any]) -> None:
