@@ -21,7 +21,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_data_parallel_train_step():
+def _spawn_and_collect(timeout: float):
     port = _free_port()
     coord = f"127.0.0.1:{port}"
     env = {**os.environ, "JAX_PLATFORMS": "cpu",
@@ -46,9 +46,10 @@ def test_two_process_data_parallel_train_step():
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=900)
+            out, _ = p.communicate(timeout=timeout)
             outs.append(out)
-            assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
+            if p.returncode != 0:
+                return None, f"worker failed:\n{out[-3000:]}"
     finally:
         for p in procs:
             if p.poll() is None:
@@ -57,9 +58,22 @@ def test_two_process_data_parallel_train_step():
     results = []
     for out in outs:
         lines = [ln for ln in out.splitlines() if ln.startswith("MPRESULT")]
-        assert lines, f"no result line:\n{out[-3000:]}"
+        if not lines:
+            return None, f"no result line:\n{out[-3000:]}"
         _, loss, gsum = lines[0].split()
         results.append((float(loss), float(gsum)))
+    return results, None
+
+
+def test_two_process_data_parallel_train_step():
+    # Two attempts with fresh ports: the GRPC rendezvous of two fresh
+    # processes on this 2-core host is timing-sensitive when the rest of
+    # the suite saturates both cores (observed: passes solo, one flake at
+    # suite-wide -n 2). A retry distinguishes starvation from real bugs.
+    results, why = _spawn_and_collect(timeout=600)
+    if results is None:
+        results, why = _spawn_and_collect(timeout=900)
+    assert results is not None, why
 
     (l0, g0), (l1, g1) = results
     assert np.isfinite([l0, g0, l1, g1]).all()

@@ -87,3 +87,17 @@ def test_pack_bits_blocked_layout():
         lx, r = divmod(loc, 16 * 16)
         ly, lz = divmod(r, 16)
         assert bits[j] == occ3[bx * 16 + lx, by * 16 + ly, bz * 16 + lz]
+
+
+def test_packed_bitfield_f32_bitcast_roundtrip():
+    """The cached bitfield rides the params pytree bitcast to f32 (frozen
+    float leaves keep grads/global_norm trivial) — the bitcast must be
+    lossless for arbitrary word patterns incl. NaN payloads."""
+    import jax.numpy as jnp
+    G = 32
+    rng = np.random.default_rng(1)
+    occ = jnp.asarray(rng.uniform(size=(G ** 3,)) < 0.5)
+    packed = ok.pack_bits_blocked(occ, G)
+    f = jax.lax.bitcast_convert_type(packed, jnp.float32)
+    back = jax.lax.bitcast_convert_type(f, jnp.uint32)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(packed))

@@ -80,8 +80,15 @@ class LatentNeRFScene:
         d = jnp.ones((8, 3)) / math.sqrt(3.0)
         field_params = self.field.init(k1, x, d,
                                        method=self.field.init_all)
-        return {"field": field_params,
-                "occ_grid": occ_lib.init_occupancy(self.occ_cfg)}
+        params = {"field": field_params,
+                  "occ_grid": occ_lib.init_occupancy(self.occ_cfg)}
+        # cached cube-window bitfield (TPU only) — packing per lookup costs
+        # ~0.25 ms/frame; it only changes at occupancy updates. Frozen
+        # (trainable_keys excludes it); stored f32-bitcast.
+        packed = occ_lib.packed_bitfield(params["occ_grid"], self.occ_cfg)
+        if packed is not None:
+            params["occ_packed"] = packed
+        return params
 
     def trainable_keys(self) -> Tuple[str, ...]:
         return ("field",)
@@ -110,7 +117,8 @@ class LatentNeRFScene:
         res = vr.render_rays(self._sigma_color_fn(params["field"]), rays, key,
                              self.march, occ_grid=occ_grid,
                              occ_cfg=self.occ_cfg, perturb=perturb,
-                             layout=layout)
+                             layout=layout,
+                             occ_packed=params.get("occ_packed"))
         B, P, C = res.image.shape
         if white_background:
             bg = jnp.ones((B, P, C), res.image.dtype)
@@ -182,6 +190,9 @@ class LatentNeRFScene:
                                   self.occ_cfg)
         out = dict(params)
         out["occ_grid"] = new_grid
+        packed = occ_lib.packed_bitfield(new_grid, self.occ_cfg)
+        if packed is not None:
+            out["occ_packed"] = packed
         return out
 
     def density_grid(self, params: Params, resolution: int = 128

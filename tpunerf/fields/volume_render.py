@@ -119,7 +119,8 @@ def render_rays(sigma_color_fn: Callable, rays: Rays, key: jax.Array,
                 cfg: MarchConfig,
                 occ_grid: Optional[jnp.ndarray] = None,
                 occ_cfg: Optional[occ_lib.OccupancyGridConfig] = None,
-                perturb: bool = True, layout=None) -> RenderResult:
+                perturb: bool = True, layout=None,
+                occ_packed: Optional[jnp.ndarray] = None) -> RenderResult:
     """March a batch of rays.
 
     sigma_color_fn: (x (N,3), d (N,3)) → (sigma (N,), color (N,C)) — the
@@ -151,7 +152,8 @@ def render_rays(sigma_color_fn: Callable, rays: Rays, key: jax.Array,
 
     # occupancy mask + fixed-shape compaction
     if occ_grid is not None and occ_cfg is not None:
-        occ = occ_lib.occupied(occ_grid, xyz, occ_cfg)                 # (B,P,S)
+        occ = occ_lib.occupied(occ_grid, xyz, occ_cfg,
+                               packed=occ_packed)                      # (B,P,S)
     else:
         occ = jnp.ones((B, P, S), bool)
     valid, t_k, xyz_k = occ_lib.compact_gather(c(occ), K, t, xyz)      # (B,P,K)
