@@ -215,6 +215,44 @@ def test_trainer_dp_resume_restores_replication(tmp_path):
     assert t2.train_step_idx == 3
 
 
+def test_trainer_chunked_on_mesh_matches_eager(tmp_path):
+    """Chunked (optim.train_chunk) training on the (4, 2) data×rays mesh:
+    in-scan pose sampling gets its sharding from with_sharding_constraint
+    (views are created inside jit, so the eager path's device_put cannot
+    apply) — the parameter trajectory must match eager mesh training."""
+    import dataclasses
+
+    from tpunerf.training.config import (DistConfig, GuideConfig, LogConfig,
+                                         OptimConfig, RenderConfig,
+                                         TrainConfig)
+    from tpunerf.training.latent_nerf_app import LatentNeRFApp
+    from tpunerf.training.trainer import Trainer
+
+    def _cfg(name, chunk):
+        return TrainConfig(
+            log=LogConfig(exp_name=name, exp_root=tmp_path, save_interval=4,
+                          eval_size=1, full_eval_size=1, vis_train_prob=0.0,
+                          save_mesh=False),
+            render=RenderConfig(train_grid_size=16, num_samples_per_ray=16,
+                                eval_grid_size=16, batch_size=4),
+            optim=OptimConfig(iters=6, seed=0, train_chunk=chunk),
+            guide=GuideConfig(text="x", tiny_diffusion=True),
+            dist=DistConfig(rays_axis=2))
+
+    te = Trainer(_cfg("eagerm", 1), LatentNeRFApp.create(_cfg("eagerm", 1)))
+    assert te.layout is not None and te.layout.n_rays == 2
+    te.train()
+    tc = Trainer(_cfg("chunkm", 3), LatentNeRFApp.create(_cfg("chunkm", 3)))
+    tc.train()
+    for a, b in zip(jax.tree_util.tree_leaves(te.params),
+                    jax.tree_util.tree_leaves(tc.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+    # chunked updates stay replicated on the mesh
+    leaf = jax.tree_util.tree_leaves(tc.params)[0]
+    assert leaf.sharding.is_fully_replicated
+
+
 # --------------------------------------------------------------------------
 # Paint apps on the mesh (VERDICT r3 task 5 — the distribution story must
 # cover the framework, not one app)

@@ -94,6 +94,13 @@ class OptimConfig:
     lambda_opacity: float = 0.0
     start_shading_iter: Optional[int] = None
     check_nan: bool = False                 # per-step finite-loss guard
+    # steps per device dispatch: >1 chains train steps in one lax.scan
+    # program so per-dispatch host overhead amortizes (the r4 production
+    # run measured ~24 ms/step of tunnel dispatch on the eager loop vs
+    # ~28 ms compute — see BASELINE.md §3). Pose sampling and the
+    # occupancy refresh run inside the scan; eval/checkpoint cadence is
+    # preserved by clipping each chunk at the next save_interval boundary.
+    train_chunk: int = 1
 
 
 @dataclasses.dataclass

@@ -108,6 +108,17 @@ class LatentNeRFApp:
             return self._update_occ(params, key)
         return params
 
+    def post_step_in_scan(self, params: Any, step: jnp.ndarray,
+                          key: jax.Array) -> Any:
+        """Traceable `post_step` for the chunked (`optim.train_chunk > 1`)
+        trainer: same cadence as the eager path, as a lax.cond inside the
+        scan body."""
+        interval = self.scene.occ_update_interval
+        return jax.lax.cond(
+            jnp.logical_or(step == 1, step % interval == 0),
+            lambda p: self.scene.update_occupancy(p, key),
+            lambda p: p, params)
+
     def _update_occ(self, params, key):
         if not hasattr(self, "_occ_update_jit"):
             self._occ_update_jit = jax.jit(self.scene.update_occupancy)

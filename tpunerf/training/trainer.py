@@ -144,6 +144,8 @@ class Trainer:
                                   model_only=cfg.optim.ckpt is not None)
 
         self._train_step = self._build_train_step()
+        self._chunk_fns: Dict[int, Callable] = {}
+        self._tracing = False
 
     # ------------------------------------------------------------------ #
     def _build_train_step(self):
@@ -195,6 +197,68 @@ class Trainer:
 
         return step_fn
 
+    def _build_train_chunk(self, k: int):
+        """ONE XLA program running `k` train steps chained in a lax.scan —
+        pose sampling, fwd+bwd, optimizer update, and the (traceable)
+        occupancy refresh all inside the scan body. Amortizes per-dispatch
+        host overhead: the r4 production run paid ~24 ms/step of tunnel
+        dispatch on the eager loop vs ~28 ms of compute (BASELINE.md §3).
+
+        PRNG threading replicates the eager loop bit-for-bit (split(key, 3)
+        per step; one extra split when the app has a post_step), so chunked
+        and eager training produce identical parameter trajectories —
+        regression-tested in tests/test_trainer_chunk.py."""
+        tx, app, cfg = self.tx, self.app, self.cfg
+        get_refs = getattr(app, "frozen_refs", None)
+        swap = getattr(app, "swap_frozen", None)
+        post_scan = getattr(app, "post_step_in_scan", None)
+        splits_post = getattr(app, "post_step", None) is not None
+        view_cfg = self.view_cfg
+        batch = cfg.render.batch_size
+        layout = self.layout
+
+        def run_scan(params, opt_state, key, step0):
+            def body(carry, i):
+                params, opt_state, key = carry
+                step = step0 + i + 1
+                key, k_view, k_loss = jax.random.split(key, 3)
+                views = rand_poses(k_view, batch, view_cfg)
+                if layout is not None:
+                    views = jax.lax.with_sharding_constraint(
+                        views, layout.views())
+                (loss, aux), grads = jax.value_and_grad(
+                    app.loss_fn, has_aux=True)(params, views, k_loss, step)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                gnorm = optax.global_norm(grads)
+                if splits_post:
+                    key, k_post = jax.random.split(key)
+                    if post_scan is not None:
+                        params = post_scan(params, step, k_post)
+                return (params, opt_state, key), (loss, gnorm, aux)
+
+            (params, opt_state, key), (losses, gnorms, auxs) = jax.lax.scan(
+                body, (params, opt_state, key), jnp.arange(k))
+            # only the final step's aux is consumed (train-render dumps)
+            aux_last = jax.tree_util.tree_map(lambda a: a[-1], auxs)
+            return params, opt_state, key, losses, gnorms, aux_last
+
+        if get_refs is not None and swap is not None:
+            # frozen guidance params threaded as args (same hazard as
+            # _build_train_step: closed-over arrays become HLO constants)
+            @jax.jit
+            def chunk_frozen(params, opt_state, key, step0, refs):
+                prev = swap(refs)
+                try:
+                    return run_scan(params, opt_state, key, step0)
+                finally:
+                    swap(prev)
+
+            return lambda params, opt_state, key, step0: chunk_frozen(
+                params, opt_state, key, step0, self._frozen_refs)
+
+        return jax.jit(run_scan)
+
     # ------------------------------------------------------------------ #
     def train(self) -> None:
         cfg = self.cfg
@@ -210,6 +274,26 @@ class Trainer:
         # anchor the throughput clock so the FIRST metrics row is real
         # (it still includes the step compile; steady-state is row 2+)
         self._last_metric_time = _time.perf_counter()
+
+        chunk = max(1, cfg.optim.train_chunk)
+        if (chunk > 1 and getattr(self.app, "post_step", None) is not None
+                and getattr(self.app, "post_step_in_scan", None) is None):
+            self.logger.warning(
+                "optim.train_chunk > 1 but the app's post_step has no "
+                "traceable post_step_in_scan form — running eager steps")
+            chunk = 1
+        if chunk > 1:
+            self._train_chunked(chunk, pbar, rng)
+            if self._tracing:
+                jax.block_until_ready(self.params)
+                jax.profiler.stop_trace()
+                self._tracing = False
+            pbar.close()
+            self.logger.info("Finished Training ^_^")
+            self.logger.info("Evaluating the last model...")
+            self.full_eval()
+            self.logger.info("\tDone!")
+            return
 
         tracing = False
         while self.train_step_idx < cfg.optim.iters:
@@ -288,6 +372,80 @@ class Trainer:
         self.logger.info("Evaluating the last model...")
         self.full_eval()
         self.logger.info("\tDone!")
+
+    # ------------------------------------------------------------------ #
+    def _train_chunked(self, chunk: int, pbar, rng) -> None:
+        """Chunked loop: dispatch `chunk` steps per device call (clipped at
+        the next save_interval boundary and at optim.iters so the eval/
+        checkpoint cadence is identical to the eager loop). Profiler traces
+        and vis-train dump draws happen at chunk granularity."""
+        cfg = self.cfg
+        import time as _time
+        last_metric_step = self.train_step_idx
+        while self.train_step_idx < cfg.optim.iters:
+            nxt = ((self.train_step_idx // cfg.log.save_interval) + 1
+                   ) * cfg.log.save_interval
+            k = min(chunk, cfg.optim.iters - self.train_step_idx,
+                    nxt - self.train_step_idx)
+            fn = self._chunk_fns.get(k)
+            if fn is None:
+                fn = self._chunk_fns[k] = self._build_train_chunk(k)
+            ts = cfg.log.trace_steps
+            if (ts and not self._tracing
+                    and self.train_step_idx < ts[0] <= self.train_step_idx + k):
+                jax.profiler.start_trace(str(self.exp_dir / "trace"))
+                self._tracing = True
+            prev_params = self.params if cfg.optim.check_nan else None
+            step0 = self.train_step_idx
+            (self.params, self.opt_state, self.key, losses, gnorms,
+             aux) = fn(self.params, self.opt_state, self.key,
+                       jnp.asarray(step0))
+            self.train_step_idx += k
+            if self._tracing and self.train_step_idx >= ts[1]:
+                jax.block_until_ready(losses)
+                jax.profiler.stop_trace()
+                self._tracing = False
+                self.logger.info(f"profiler trace written to "
+                                 f"{self.exp_dir / 'trace'}")
+            if cfg.optim.check_nan:
+                ls = np.asarray(losses)
+                if not np.isfinite(ls).all():
+                    bad = step0 + 1 + int(np.argmax(~np.isfinite(ls)))
+                    path = self.ckpts.save_debug(
+                        "nan_debug", step0, prev_params,
+                        is_main_process=jax.process_index() == 0)
+                    if self._tracing:
+                        jax.profiler.stop_trace()
+                    raise FloatingPointError(
+                        f"non-finite loss at step {bad} (chunk-start params "
+                        f"saved to {path})")
+            pbar.update(k)
+
+            if self.train_step_idx // 50 > last_metric_step // 50:
+                jax.block_until_ready(losses)
+                now = _time.perf_counter()
+                dt = now - self._last_metric_time
+                self._last_metric_time = now
+                steps = self.train_step_idx - last_metric_step
+                last_metric_step = self.train_step_idx
+                loss_f = float(losses[-1])
+                gnorm_f = float(gnorms[-1])
+                pbar.set_description(f"loss {loss_f:+.3e} |g| {gnorm_f:.3e}")
+                self.metrics.write(
+                    self.train_step_idx, loss=loss_f, grad_norm=gnorm_f,
+                    steps_per_s=(steps / dt) if dt > 0 else 0.0,
+                    rays_per_s=(steps * cfg.render.batch_size *
+                                cfg.render.train_grid_size ** 2 / dt)
+                    if dt > 0 else 0.0,
+                    **_device_memory_scalars())
+
+            if self.train_step_idx % cfg.log.save_interval == 0:
+                self.save_checkpoint(full=True)
+                self.evaluate(self.train_step_idx, size=cfg.log.eval_size)
+
+            if (cfg.log.log_images and "image" in aux
+                    and rng.random() < cfg.log.vis_train_prob):
+                self._log_train_render(aux)
 
     # ------------------------------------------------------------------ #
     def evaluate(self, step: int, size: int,
