@@ -99,8 +99,9 @@ def test_chunk_respects_eval_cadence(tmp_path, tiny_sd_guidance):
         c, guidance=tiny_sd_guidance))
     ckpts = sorted(p.name for p in
                    (cfg.log.exp_dir / "checkpoints").glob("step_*.ckpt"))
-    # retention keeps 2: boundary saves at 4 and 8 → 4 evicted
-    assert ckpts == ["step_000008.ckpt"] or len(ckpts) == 2
+    # boundary saves at exactly 4 and 8 (retention 2 keeps both); exact
+    # names so a cadence regression saving at wrong boundaries fails
+    assert ckpts == ["step_000004.ckpt", "step_000008.ckpt"]
     # compiled chunk sizes: 4 (clipped at boundaries) and 2 (tail)
     assert set(trainer._chunk_fns) == {4, 2}
     assert trainer.train_step_idx == 10

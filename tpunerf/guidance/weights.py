@@ -305,6 +305,29 @@ def load_unet_params(model_dir: Path, unet) -> Any:
                        "inpaint_unet")
 
 
+def load_clip_vision_params(model_dir: Path, embedder) -> Any:
+    """Load a transformers `CLIPVisionModelWithProjection` checkpoint dir
+    onto a `CLIPImageEmbedder` (the pretrained tower for the semantic CLIP
+    losses — reference init_clip, latent_paint_mesh/training/trainer.py:
+    172-180). Probes `model` then `pytorch_model` like the other loaders."""
+    model_dir = Path(model_dir)
+    vcfg = embedder.config
+    sd = None
+    for base in ("model", "pytorch_model"):
+        try:
+            sd = _load_state_dict(model_dir / base)
+            break
+        except FileNotFoundError:
+            continue
+    if sd is None:
+        raise FileNotFoundError(
+            f"no model(.safetensors/.bin) under {model_dir}")
+    probe = jnp.zeros((1, vcfg.image_size, vcfg.image_size, 3))
+    shapes = jax.eval_shape(
+        lambda: embedder.init(jax.random.key(0), probe))
+    return _check_tree(convert_clip_vision(sd, vcfg), shapes, "clip_vision")
+
+
 def load_pbe_params(model_dir: Path, unet, vae, image_encoder
                     ) -> Tuple[Any, Any, Any]:
     """Load + convert a diffusers-layout Paint-by-Example checkpoint
