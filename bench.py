@@ -205,6 +205,13 @@ def main() -> None:
         uparams = jax.jit(unet.init)(jax.random.key(0),
                                      jnp.zeros((2 * B, H, W, 4)),
                                      jnp.zeros((2 * B,), jnp.int32), ctx)
+        # the production default policy (guide.unet_dtype="auto" → bf16
+        # weights+compute on TPU): frozen UNet, so the bf16 copy halves
+        # the ~3.4 GB/step weight HBM traffic (r5; BASELINE.md §3 carries
+        # the f32-vs-bf16 comparison)
+        from tpunerf.guidance.unet import apply_unet_dtype
+        unet, uparams = apply_unet_dtype(unet, uparams, "auto")
+        sds_unet_dtype = jnp.dtype(unet.config.dtype).name
         from tpunerf.guidance.schedulers import NoiseSchedule
         nsched = NoiseSchedule.scaled_linear()
 
@@ -261,6 +268,7 @@ def main() -> None:
     if sds_iters_per_s is not None:
         out["sds_iters_per_s_full_unet"] = round(sds_iters_per_s, 2)
         out["sds_scan_iters"] = 30
+        out["sds_unet_dtype"] = sds_unet_dtype
     try:
         out.update(mesh_metrics())
     except Exception as e:

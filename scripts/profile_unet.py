@@ -23,7 +23,13 @@ import jax
 import jax.numpy as jnp
 
 
-def _scan_time(name, step, params, iters=50, reps=2, flops=None):
+def _param_mb(params) -> float:
+    return sum(x.size * x.dtype.itemsize
+               for x in jax.tree_util.tree_leaves(params)) / 2 ** 20
+
+
+def _scan_time(name, step, params, iters=50, reps=2, flops=None,
+               weight_mb=None):
     """step(params, key, acc) -> scalar depending on the stage output."""
 
     @jax.jit
@@ -45,7 +51,11 @@ def _scan_time(name, step, params, iters=50, reps=2, flops=None):
         _ = float(run(params, jax.random.key(r + 1)))
         best = min(best, (time.perf_counter() - t0) / iters)
     eff = f"  ({flops / best / 1e12:6.1f} TF/s)" if flops else ""
-    print(f"{name:<52s} {best*1e3:8.2f} ms{eff}", flush=True)
+    wb = ""
+    if weight_mb is not None:
+        # HBM floor from the weight read alone (819 GB/s v5e)
+        wb = f"  [w {weight_mb:7.1f} MB ≥{weight_mb / 819:5.2f} ms]"
+    print(f"{name:<52s} {best*1e3:8.2f} ms{eff}{wb}", flush=True)
     return best
 
 
@@ -56,6 +66,9 @@ def main():
                                        UNet2DCondition, UNetConfig)
 
     skip_bwd = "--skip-bwd" in sys.argv
+    # --dtype f32|bf16: the guide.unet_dtype policy under profile (bf16 =
+    # weights copy + compute dtype, guidance/unet.py:apply_unet_dtype)
+    dtype_tag = "bf16" if "bf16" in sys.argv else "f32"
     B = 2                      # CFG batch
     cfg = UNetConfig.sd_v1()
     unet = UNet2DCondition(cfg)
@@ -63,8 +76,17 @@ def main():
     x0 = jnp.zeros((B, 64, 64, 4))
     t0_ = jnp.zeros((B,), jnp.int32)
     params = jax.jit(unet.init)(jax.random.key(0), x0, t0_, ctx)
+    if dtype_tag == "bf16":
+        from tpunerf.guidance.unet import apply_unet_dtype
+        unet, params = apply_unet_dtype(unet, params, "bfloat16")
+    blk_dt = jnp.bfloat16 if dtype_tag == "bf16" else jnp.float32
 
-    print(f"backend={jax.default_backend()}  B={B}", flush=True)
+    def cast(p):
+        return jax.tree_util.tree_map(lambda x: x.astype(blk_dt), p) \
+            if dtype_tag == "bf16" else p
+
+    print(f"backend={jax.default_backend()}  B={B}  dtype={dtype_tag}",
+          flush=True)
 
     # ---- whole UNet ----------------------------------------------------
     def whole(p, sub, acc):
@@ -72,7 +94,8 @@ def main():
         eps = unet.apply(p, x, t0_, ctx)
         return jnp.sum(jnp.abs(eps)) * 1e-10 + acc * 1e-20
 
-    t_whole = _scan_time("UNet fwd (B=2, 64x64x4)", whole, params)
+    t_whole = _scan_time("UNet fwd (B=2, 64x64x4)", whole, params,
+                         weight_mb=_param_mb(params))
 
     if not skip_bwd:
         def whole_bwd(p, sub, acc):
@@ -94,26 +117,29 @@ def main():
                (16, 1280, 1280, 4 + 1), (8, 1280, 1280, 2 + 2 + 3)]
     total = 0.0
     for H, ci, co, n in resnets:
-        blk = ResnetBlock(co, cfg.norm_num_groups)
-        p = jax.jit(blk.init)(jax.random.key(1), jnp.zeros((B, H, H, ci)),
-                              temb)
+        blk = ResnetBlock(co, cfg.norm_num_groups, dtype=blk_dt)
+        p = cast(jax.jit(blk.init)(jax.random.key(1),
+                                   jnp.zeros((B, H, H, ci)), temb))
         fl = 2 * 2 * B * H * H * 9 * ci * co
 
         def step(p, sub, acc, blk=blk, H=H, ci=ci):
             x = jax.random.normal(sub, (B, H, H, ci))
-            return jnp.sum(jnp.abs(blk.apply(p, x, temb))) * 1e-10 \
-                + acc * 1e-20
+            return jnp.sum(jnp.abs(blk.apply(p, x, temb))
+                           .astype(jnp.float32)) * 1e-10 + acc * 1e-20
 
         t = _scan_time(f"resnet {H}x{H} c{ci}->{co}  (x{n} in UNet)", step, p,
-                       flops=fl)
+                       flops=fl, weight_mb=_param_mb(p))
         total += t * n
 
     transformers = [(64, 320, 2 + 3), (32, 640, 2 + 3), (16, 1280, 2 + 3),
                     (8, 1280, 1)]
     for H, ch, n in transformers:
-        blk = Transformer2D(cfg.attention_num_heads, cfg.norm_num_groups)
-        p = jax.jit(blk.init)(jax.random.key(1), jnp.zeros((B, H, H, ch)),
-                              jnp.zeros((B, 77, cfg.cross_attention_dim)))
+        blk = Transformer2D(cfg.attention_num_heads, cfg.norm_num_groups,
+                            dtype=blk_dt)
+        p = cast(jax.jit(blk.init)(jax.random.key(1),
+                                   jnp.zeros((B, H, H, ch)),
+                                   jnp.zeros((B, 77,
+                                              cfg.cross_attention_dim))))
         N = H * H
         fl = (2 * 2 * B * N * N * ch
               + 2 * B * N * ch * ch * 4
@@ -126,10 +152,11 @@ def main():
             x = jax.random.normal(sub, (B, H, H, ch))
             c = jax.random.normal(jax.random.fold_in(sub, 1),
                                   (B, 77, cfg.cross_attention_dim))
-            return jnp.sum(jnp.abs(blk.apply(p, x, c))) * 1e-10 + acc * 1e-20
+            return jnp.sum(jnp.abs(blk.apply(p, x, c))
+                           .astype(jnp.float32)) * 1e-10 + acc * 1e-20
 
         t = _scan_time(f"transformer2d {H}x{H} c{ch}  (x{n} in UNet)", step, p,
-                       flops=fl)
+                       flops=fl, weight_mb=_param_mb(p))
         total += t * n
 
     # up-path resnets see concat'd skips (ci up to 2×co) — the family rows

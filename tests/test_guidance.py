@@ -230,3 +230,64 @@ def test_maybe_load_concept_cfg_hook(tmp_path):
                tmp_path / "learned_embeds.bin")
     (tmp_path / "token_identifier.txt").write_text("<toy2>")
     assert sd2.maybe_load_concept(tmp_path) == "<toy2>"
+
+
+# --------------------------------------------------------------------- #
+# guide.unet_dtype policy (r4 judge task 1: bf16 weights/compute halves
+# the frozen UNet's HBM weight traffic; f32 pinned for the parity gate)
+# --------------------------------------------------------------------- #
+def test_unet_dtype_bf16_casts_weights_and_bounds_divergence(sd):
+    from tpunerf.guidance.unet import apply_unet_dtype
+
+    unet16, params16 = apply_unet_dtype(sd.unet, sd.unet_params, "bfloat16")
+    # the stored weights ARE bf16 (a weight copy, not a cast-at-use)
+    leaves = jax.tree_util.tree_leaves(params16)
+    assert all(x.dtype == jnp.bfloat16 for x in leaves
+               if jnp.issubdtype(x.dtype, jnp.floating))
+    assert unet16.config.dtype == jnp.bfloat16
+
+    x = jax.random.normal(jax.random.key(1), (2, 16, 16, 4))
+    ctx = jax.random.normal(jax.random.key(2), (2, 8, 32))
+    t = jnp.array([321, 321])
+    eps32 = sd.unet.apply(sd.unet_params, x, t, ctx)
+    eps16 = unet16.apply(params16, x, t, ctx)
+    # ε output is f32 and close to the f32 reference
+    assert eps16.dtype == jnp.float32
+    rel = (np.linalg.norm(np.asarray(eps16 - eps32))
+           / np.linalg.norm(np.asarray(eps32)))
+    assert rel < 0.05, f"bf16 UNet diverged {rel:.3f} from f32"
+
+    # ... and the CFG-amplified SDS score stays direction-aligned
+    e32 = sds_lib.cfg_eps(lambda a, b, c: sd.unet.apply(sd.unet_params,
+                                                        a, b, c),
+                          x[:1], jnp.asarray(321), ctx, 7.5)
+    e16 = sds_lib.cfg_eps(lambda a, b, c: unet16.apply(params16, a, b, c),
+                          x[:1], jnp.asarray(321), ctx, 7.5)
+    a, b = np.asarray(e32).ravel(), np.asarray(e16).ravel()
+    cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+    assert cos > 0.99, f"CFG score cosine {cos:.4f}"
+
+
+def test_unet_dtype_float32_is_identity(sd):
+    from tpunerf.guidance.unet import apply_unet_dtype
+
+    unet, params = apply_unet_dtype(sd.unet, sd.unet_params, "float32")
+    assert unet is sd.unet and params is sd.unet_params
+
+
+def test_guide_unet_dtype_plumbs_from_config():
+    """GuideConfig.unet_dtype reaches the built guidance ("auto" resolves
+    f32 on CPU, so pin bfloat16 explicitly here)."""
+    g = StableDiffusionGuidance.create(jax.random.key(0), tiny=True,
+                                       unet_dtype="bfloat16")
+    leaves = jax.tree_util.tree_leaves(g.unet_params)
+    assert all(x.dtype == jnp.bfloat16 for x in leaves
+               if jnp.issubdtype(x.dtype, jnp.floating))
+    # the full SDS loss surface runs and grads flow to the latents
+    ctx = jnp.zeros((2, 8, 32))
+    lat = jax.random.normal(jax.random.key(1), (1, 16, 16, 4))
+    loss, grad = jax.value_and_grad(
+        lambda l: g.train_step_loss(jax.random.key(2), ctx, l))(lat)
+    assert np.isfinite(float(loss))
+    assert np.isfinite(np.asarray(grad)).all()
+    assert np.abs(np.asarray(grad)).max() > 0

@@ -66,7 +66,9 @@ class StableDiffusionDepthGuidance:
     def create(cls, key: jax.Array, tiny: bool = False,
                model_dir=None, min_step: float = 0.02,
                max_step: float = 0.98, use_inpaint: bool = False,
-               inpaint_model_dir=None) -> "StableDiffusionDepthGuidance":
+               inpaint_model_dir=None,
+               unet_dtype: str = "float32"
+               ) -> "StableDiffusionDepthGuidance":
         """use_inpaint: also construct the SD2-inpainting 9-ch UNet
         (reference `use_inpaint`, stable_diffusion_depth.py:23,:59-62).
         inpaint_model_dir: diffusers-layout checkpoint dir for its weights
@@ -122,6 +124,11 @@ class StableDiffusionDepthGuidance:
                 inpaint_params = jax.jit(inpaint_unet.init)(
                     jax.random.fold_in(key, 9), lat9,
                     jnp.zeros((1,), jnp.int32), ctx)
+        from tpunerf.guidance.unet import apply_unet_dtype
+        unet, unet_params = apply_unet_dtype(unet, unet_params, unet_dtype)
+        if inpaint_unet is not None:
+            inpaint_unet, inpaint_params = apply_unet_dtype(
+                inpaint_unet, inpaint_params, unet_dtype)
         sched = NoiseSchedule.scaled_linear()
         return cls(unet=unet, unet_params=unet_params, vae=vae,
                    vae_params=vae_params, text_encoder=text,

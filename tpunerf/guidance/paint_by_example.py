@@ -97,8 +97,8 @@ class PaintByExampleGuidance:
     @classmethod
     def create(cls, key: jax.Array, tiny: bool = False,
                min_step: float = 0.2, max_step: float = 0.6,
-               model_dir: Optional[Any] = None
-               ) -> "PaintByExampleGuidance":
+               model_dir: Optional[Any] = None,
+               unet_dtype: str = "float32") -> "PaintByExampleGuidance":
         """model_dir: diffusers-layout Paint-by-Example checkpoint directory
         (Fantasy-Studio/Paint-by-Example: unet/, vae/, image_encoder/). When
         given, real weights are converted in (weights.load_pbe_params);
@@ -136,6 +136,8 @@ class PaintByExampleGuidance:
             px = jnp.zeros((1, vis.image_size, vis.image_size, 3))
             enc_params = jax.jit(enc.init)(k3, px)
 
+        from tpunerf.guidance.unet import apply_unet_dtype
+        unet, unet_params = apply_unet_dtype(unet, unet_params, unet_dtype)
         return cls(unet=unet, unet_params=unet_params, vae=vae,
                    vae_params=vae_params, image_encoder=enc,
                    image_encoder_params=enc_params,

@@ -87,13 +87,19 @@ class StableDiffusionGuidance:
     def create(cls, key: jax.Array, tiny: bool = False,
                model_dir: Optional[Path] = None, in_channels: int = 4,
                latent_mode: bool = True, min_step: float = 0.02,
-               max_step: float = 0.98, dtype=jnp.float32
-               ) -> "StableDiffusionGuidance":
+               max_step: float = 0.98, dtype=jnp.float32,
+               unet_dtype: str = "float32") -> "StableDiffusionGuidance":
         """Build modules; load converted SD weights from `model_dir` when
         given (guidance/weights.py layout), else initialize randomly.
 
         `tiny=True` builds the structurally identical miniature used by the
-        test pyramid (SURVEY.md §4 "mocked UNet with the real API")."""
+        test pyramid (SURVEY.md §4 "mocked UNet with the real API").
+
+        `unet_dtype` is the `guide.unet_dtype` weight/compute policy for
+        the (frozen) UNet — see guidance/unet.py:apply_unet_dtype. The VAE
+        and text encoder stay in `dtype` (f32 default: the text encoder
+        runs once at startup, and the VAE carries eval-image quality and
+        the RGB-mode encode gradients)."""
         if tiny:
             ucfg = UNetConfig.tiny(in_channels=in_channels, dtype=dtype)
             vcfg = vae_lib.VAEConfig.tiny(dtype=dtype)
@@ -126,6 +132,9 @@ class StableDiffusionGuidance:
             vae_params = jax.jit(vae.init)(k2, img, jax.random.key(0))
             ids = jnp.zeros((1, tcfg.max_length), jnp.int32)
             text_params = jax.jit(text.init)(k3, ids)
+
+        from tpunerf.guidance.unet import apply_unet_dtype
+        unet, unet_params = apply_unet_dtype(unet, unet_params, unet_dtype)
 
         sched = NoiseSchedule.scaled_linear()
         return cls(unet=unet, unet_params=unet_params, vae=vae,

@@ -59,6 +59,33 @@ class UNetConfig:
                    up_block_has_attn=(False, True), dtype=dtype)
 
 
+def apply_unet_dtype(unet: "UNet2DCondition", unet_params,
+                     unet_dtype: str = "float32"):
+    """Apply the `guide.unet_dtype` weight/compute policy to a built UNet.
+
+    "auto" = bfloat16 on TPU / float32 elsewhere (utils.resolve_dtype). For
+    bfloat16, BOTH the stored weights and the compute dtype are cast: the
+    UNet is frozen under SDS (the score is stop-gradiented —
+    guidance/sds.py), so there is no f32 master copy to keep, and an f32
+    859M-param UNet reads ~3.4 GB of weights per CFG step (~4.2 ms of HBM
+    at 819 GB/s) that the bf16 copy halves. Statistics stay exact: flax
+    norm layers compute mean/var in f32, flash attention runs f32, the
+    timestep table is built f32, and the ε output is cast back to f32.
+    Divergence bound vs f32 is regression-tested in
+    tests/test_guidance.py; PARITY.md pins float32 for the reference
+    allclose gate."""
+    from tpunerf.utils.misc import resolve_dtype
+    dt = resolve_dtype(unet_dtype)
+    if dt == jnp.float32 or unet_params is None:
+        return unet, unet_params
+    unet = UNet2DCondition(dataclasses.replace(unet.config, dtype=dt))
+    unet_params = jax.tree_util.tree_map(
+        lambda x: x.astype(dt)
+        if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x,
+        unet_params)
+    return unet, unet_params
+
+
 def timestep_embedding(t: jnp.ndarray, dim: int) -> jnp.ndarray:
     """Sinusoidal embedding, diffusers convention (flip_sin_to_cos=True,
     downscale_freq_shift=0) → [cos | sin]."""

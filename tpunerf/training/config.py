@@ -67,6 +67,12 @@ class GuideConfig:
     use_sd: bool = True                     # StableDiffusion vs PaintByExample
     append_neg_text: bool = False
     negative_text: str = ""                 # CFG negative prompt
+    # UNet weight/compute dtype policy: "auto" = bf16 on TPU / f32
+    # elsewhere, or "float32"/"bfloat16" explicitly. The UNet is frozen
+    # under SDS, so bf16 halves its ~3.4 GB/step HBM weight traffic with
+    # no f32 master needed (guidance/unet.py:apply_unet_dtype). Pin
+    # "float32" for the reference allclose parity gate (PARITY.md).
+    unet_dtype: str = "auto"
 
 
 @dataclasses.dataclass
@@ -112,6 +118,10 @@ class LogConfig:
     save_interval: int = 100
     eval_size: int = 10
     full_eval_size: int = 100
+    # poses per jitted eval dispatch: the orbit renders in chunks of this
+    # size (one XLA program per chunk; tail padded). Bounds eval memory —
+    # at 512² the VAE decode / raster buffers scale with it.
+    eval_batch: int = 5
     save_mesh: bool = True
     max_keep_ckpts: int = 2
     eval_only: bool = False

@@ -71,7 +71,8 @@ class LatentPaintApp:
                 tiny=cfg.guide.tiny_diffusion,
                 model_dir=cfg.guide.model_dir,
                 latent_mode=latent_mode,
-                min_step=cfg.optim.min_step, max_step=cfg.optim.max_step)
+                min_step=cfg.optim.min_step, max_step=cfg.optim.max_step,
+                unet_dtype=cfg.guide.unet_dtype)
             guidance.maybe_load_concept(cfg.guide.concept_name)
         scene = TexturedMeshScene.create(
             mesh=mesh,

@@ -64,21 +64,8 @@ def _make_clip_embedder(cfg) -> Tuple[Any, Any]:
     probe = jnp.zeros((1, vcfg.image_size, vcfg.image_size, 3))
     if cfg.guide.clip_model_dir is not None:
         from tpunerf.guidance import weights
-        sd = None
-        for base in ("model", "pytorch_model"):
-            try:
-                sd = weights._load_state_dict(
-                    Path(cfg.guide.clip_model_dir) / base)
-                break
-            except FileNotFoundError:
-                continue
-        if sd is None:
-            raise FileNotFoundError(
-                f"no model(.safetensors/.bin) under {cfg.guide.clip_model_dir}")
-        expected = jax.eval_shape(
-            lambda: embedder.init(jax.random.key(0), probe))
-        eparams = weights._check_tree(
-            weights.convert_clip_vision(sd, vcfg), expected, "clip_vision")
+        eparams = weights.load_clip_vision_params(
+            Path(cfg.guide.clip_model_dir), embedder)
     else:
         if not cfg.guide.tiny_diffusion:
             import logging
@@ -122,13 +109,15 @@ class LatentPaintMeshApp:
                 jax.random.key(cfg.optim.seed),
                 tiny=cfg.guide.tiny_diffusion,
                 model_dir=cfg.guide.model_dir,
-                min_step=cfg.optim.min_step, max_step=cfg.optim.max_step)
+                min_step=cfg.optim.min_step, max_step=cfg.optim.max_step,
+                unet_dtype=cfg.guide.unet_dtype)
         if use_sd and not use_depth and guidance is None:
             guidance = StableDiffusionGuidance.create(
                 jax.random.key(cfg.optim.seed),
                 tiny=cfg.guide.tiny_diffusion,
                 model_dir=cfg.guide.model_dir, latent_mode=latent_mode,
-                min_step=cfg.optim.min_step, max_step=cfg.optim.max_step)
+                min_step=cfg.optim.min_step, max_step=cfg.optim.max_step,
+                unet_dtype=cfg.guide.unet_dtype)
             guidance.maybe_load_concept(cfg.guide.concept_name)
         if not use_sd and pbe is None:
             # guide.model_dir names the Paint-by-Example checkpoint dir on
@@ -138,7 +127,8 @@ class LatentPaintMeshApp:
             pbe = PaintByExampleGuidance.create(
                 jax.random.key(cfg.optim.seed),
                 tiny=cfg.guide.tiny_diffusion,
-                model_dir=cfg.guide.model_dir)
+                model_dir=cfg.guide.model_dir,
+                unet_dtype=cfg.guide.unet_dtype)
 
         scene = TexturedMeshScene.create(
             shape_path=cfg.guide.shape_path,

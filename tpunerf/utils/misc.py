@@ -25,6 +25,19 @@ def tensor2numpy(array) -> np.ndarray:
     return (np.clip(array, 0.0, 1.0) * 255).astype(np.uint8)
 
 
+def resolve_dtype(spec: str):
+    """Dtype-policy string → jnp dtype: "auto" = bfloat16 on TPU / float32
+    elsewhere; else an explicit dtype name ("float32" / "bfloat16").
+    Shared by `render.mlp_dtype` and `guide.unet_dtype` (PARITY.md pins
+    "float32" for the reference allclose gate)."""
+    import jax
+    import jax.numpy as jnp
+    if spec == "auto":
+        return jnp.bfloat16 if jax.default_backend() == "tpu" \
+            else jnp.float32
+    return jnp.dtype(spec)
+
+
 def make_path(path: Path) -> Path:
     path = Path(path)
     path.mkdir(exist_ok=True, parents=True)
