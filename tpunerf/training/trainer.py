@@ -145,6 +145,7 @@ class Trainer:
 
         self._train_step = self._build_train_step()
         self._chunk_fns: Dict[int, Callable] = {}
+        self._eval_fns: Dict[Tuple, Callable] = {}
         self._tracing = False
 
     # ------------------------------------------------------------------ #
@@ -204,15 +205,22 @@ class Trainer:
         host overhead: the r4 production run paid ~24 ms/step of tunnel
         dispatch on the eager loop vs ~28 ms of compute (BASELINE.md §3).
 
-        PRNG threading replicates the eager loop bit-for-bit (split(key, 3)
-        per step; one extra split when the app has a post_step), so chunked
-        and eager training produce identical parameter trajectories —
-        regression-tested in tests/test_trainer_chunk.py."""
+        PRNG threading replicates the eager loop exactly (split(key, 3)
+        per step; one extra split when the app has a post-step hook), so
+        chunked and eager training produce numerically equivalent parameter
+        trajectories (same keys/poses/noise; XLA fusion of the scan body may
+        perturb low bits) — regression-tested to 1e-5 in
+        tests/test_trainer_chunk.py."""
         tx, app, cfg = self.tx, self.app, self.cfg
         get_refs = getattr(app, "frozen_refs", None)
         swap = getattr(app, "swap_frozen", None)
         post_scan = getattr(app, "post_step_in_scan", None)
-        splits_post = getattr(app, "post_step", None) is not None
+        # split the post-step key whenever EITHER hook exists: apps normally
+        # pair them (eager post_step + traceable post_step_in_scan, identical
+        # trajectories), but an app defining only the in-scan form must not
+        # have it silently skipped (r4 advisor)
+        splits_post = (getattr(app, "post_step", None) is not None
+                       or post_scan is not None)
         view_cfg = self.view_cfg
         batch = cfg.render.batch_size
         layout = self.layout
@@ -285,9 +293,12 @@ class Trainer:
         if chunk > 1:
             self._train_chunked(chunk, pbar, rng)
             if self._tracing:
+                # out-of-range upper bound must not leave the profiler running
                 jax.block_until_ready(self.params)
                 jax.profiler.stop_trace()
                 self._tracing = False
+                self.logger.info(f"profiler trace written to "
+                                 f"{self.exp_dir / 'trace'}")
             pbar.close()
             self.logger.info("Finished Training ^_^")
             self.logger.info("Evaluating the last model...")
@@ -418,7 +429,8 @@ class Trainer:
                         jax.profiler.stop_trace()
                     raise FloatingPointError(
                         f"non-finite loss at step {bad} (chunk-start params "
-                        f"saved to {path})")
+                        f"saved to {path}; rerun with --optim.train_chunk 1 "
+                        f"to localize with step-granular last-good params)")
             pbar.update(k)
 
             if self.train_step_idx // 50 > last_metric_step // 50:
@@ -448,6 +460,31 @@ class Trainer:
                 self._log_train_render(aux)
 
     # ------------------------------------------------------------------ #
+    def _build_eval_fn(self, dims: Tuple[int, int]) -> Callable:
+        """One jitted render for a CHUNK of eval poses. The r4 production
+        run spent ~2/3 of wall clock in the eval orbit because eval_render
+        ran eagerly one pose at a time — every jnp op paid the tunnel's
+        per-dispatch overhead. Jitting collapses each chunk to one dispatch
+        and batches the render + VAE decode over `log.eval_batch` poses;
+        frozen guidance params thread through as jit arguments (same
+        HLO-constant hazard as the train step)."""
+        app = self.app
+        get_refs = getattr(app, "frozen_refs", None)
+        swap = getattr(app, "swap_frozen", None)
+        if get_refs is not None and swap is not None:
+            @jax.jit
+            def eval_frozen(params, views, refs):
+                prev = swap(refs)
+                try:
+                    return app.eval_render(params, views, dims)
+                finally:
+                    swap(prev)
+
+            return lambda params, views: eval_frozen(params, views,
+                                                     self._frozen_refs)
+        return jax.jit(
+            lambda params, views: app.eval_render(params, views, dims))
+
     def evaluate(self, step: int, size: int,
                  save_as_video: bool = False,
                  out_dir: Optional[Path] = None) -> None:
@@ -456,11 +493,20 @@ class Trainer:
         views = circle_poses(size, self.view_cfg)
         frames = []
         dims = (cfg.render.eval_grid_size, cfg.render.eval_grid_size)
-        for i in range(size):
-            v = jax.tree_util.tree_map(lambda x: x[i:i + 1], views)
-            out = self.app.eval_render(self.params, v, dims)
-            frames.append(tensor2numpy(np.asarray(out["image"][0])))
-            if i == 0 and "texture_map" in out and out["texture_map"] is not None:
+        chunk = max(1, min(size, cfg.log.eval_batch))
+        fn = self._eval_fns.get((dims, chunk))
+        if fn is None:
+            fn = self._eval_fns[(dims, chunk)] = self._build_eval_fn(dims)
+        for s in range(0, size, chunk):
+            # pad the tail chunk by repeating the last pose: every call has
+            # the same batch shape → exactly one compile per (dims, chunk)
+            idx = np.minimum(np.arange(s, s + chunk), size - 1)
+            v = jax.tree_util.tree_map(lambda x: x[idx], views)
+            out = fn(self.params, v)
+            n_valid = min(chunk, size - s)
+            img = np.asarray(out["image"][:n_valid])
+            frames.extend(tensor2numpy(img[i]) for i in range(n_valid))
+            if (s == 0 and out.get("texture_map", None) is not None):
                 self._save_image(out_dir / f"step_{step:06d}_texture.png",
                                  tensor2numpy(np.asarray(
                                      out["texture_map"][0])))
