@@ -1,0 +1,104 @@
+"""Occupied-fraction → rays/s curve (r4 judge weak #6 / task 8).
+
+The sparse occupancy window sweep (kernels/occgrid.py) makes the headline
+rays/s a function of the grid's occupied fraction, so a single quoted rate
+at one assumed fraction is not the whole story. This script measures the
+full fwd+bwd frame rate of the bench.py protocol at a sweep of CONTROLLED
+occupancy states — centered blob grids of increasing radius (the geometry a
+trained scene converges to; the lego_man sketch-guided run's metrics.jsonl
+`occ_frac` column pins where real training actually sits on this curve) —
+and prints one JSON line of (occ_frac, rays_per_s) points for BASELINE.md.
+
+Run on the TPU: python -m scripts.occ_rate_curve
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _timed_scan(step_fn, params, key, iters):
+    """bench.py timing protocol: serially-dependent lax.scan, clock stops
+    on a host fetch of the chained carry (the tunneled backend does not
+    reliably block in block_until_ready)."""
+
+    @jax.jit
+    def run(params, key):
+        def body(carry, _):
+            key, acc = carry
+            key, sub = jax.random.split(key)
+            return (key, step_fn(params, sub, acc)), None
+
+        (key, acc), _ = jax.lax.scan(
+            body, (key, jnp.float32(0.0)), None, length=iters)
+        return acc
+
+    acc = float(run(params, key))
+    assert acc == acc, "NaN in curve measurement"
+    t0 = time.perf_counter()
+    float(run(params, jax.random.fold_in(key, 1)))
+    return (time.perf_counter() - t0) / iters
+
+
+def blob_grid(G: int, frac: float) -> np.ndarray:
+    """(G³,) occupancy values: a centered ball whose volume ≈ frac·G³ —
+    above-threshold inside, zero outside (matches the EMA grid's converged
+    shape for a centered object)."""
+    r = (3.0 * frac / (4.0 * np.pi)) ** (1.0 / 3.0)  # in [0, 0.5·side] units
+    ax = (np.arange(G) + 0.5) / G - 0.5
+    gx, gy, gz = np.meshgrid(ax, ax, ax, indexing="ij")
+    inside = (gx ** 2 + gy ** 2 + gz ** 2) <= r ** 2
+    return np.where(inside.ravel(), 1.0, 0.0).astype(np.float32)
+
+
+def main() -> None:
+    from tpunerf.core.views import ViewSamplerConfig, rand_poses
+    from tpunerf.fields import occupancy as occ_lib
+    from tpunerf.fields.scene import LatentNeRFScene
+
+    H = W = 64
+    scene = LatentNeRFScene.create(nerf_type="latent", tiny=False,
+                                   num_samples=128, num_compacted=64,
+                                   train_grid_size=H)
+    key = jax.random.key(0)
+    params = scene.init_params(key)
+    views = rand_poses(key, 1, ViewSamplerConfig())
+
+    def render_step(p, sub, acc):
+        def loss_fn(p):
+            out = scene.render_train(p, views, sub, jnp.asarray(0))
+            return jnp.sum(out["image"] ** 2) + out["sparsity_loss"]
+
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        gsum = sum(jnp.sum(jnp.abs(g))
+                   for g in jax.tree_util.tree_leaves(grads))
+        return loss + 1e-20 * gsum + 1e-20 * acc
+
+    G = scene.occ_cfg.resolution
+    points = []
+    for frac in (0.02, 0.05, 0.1, 0.185, 0.3, 0.5, 1.0):
+        grid = jnp.asarray(blob_grid(G, frac)) if frac < 1.0 \
+            else jnp.ones((G ** 3,), jnp.float32)
+        p = dict(params)
+        p["occ_grid"] = grid
+        packed = occ_lib.packed_bitfield(grid, scene.occ_cfg)
+        if packed is not None:
+            p["occ_packed"] = packed
+        actual = float(jnp.mean(
+            (grid > scene.occ_cfg.density_threshold).astype(jnp.float32)))
+        sec = _timed_scan(render_step, p, key, iters=100)
+        points.append({"occ_frac": round(actual, 4),
+                       "rays_per_s": round(H * W / sec, 1),
+                       "ms_per_frame": round(sec * 1e3, 3)})
+        print(f"occ={actual:.3f}: {H * W / sec / 1e3:8.1f}k rays/s "
+              f"({sec * 1e3:.2f} ms)", flush=True)
+
+    print(json.dumps({"metric": "occ_frac_to_rays_per_s", "points": points}))
+
+
+if __name__ == "__main__":
+    main()

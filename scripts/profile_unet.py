@@ -121,9 +121,13 @@ def main():
         p = cast(jax.jit(blk.init)(jax.random.key(1),
                                    jnp.zeros((B, H, H, ci)), temb))
         fl = 2 * 2 * B * H * H * 9 * ci * co
+        # fixed random input, serialised by an acc perturbation — per-iter
+        # jax.random.normal of the (B,H,H,C) input costs more VPU time
+        # than small blocks themselves and inflated every family row (r5)
+        x0 = jax.random.normal(jax.random.key(2), (B, H, H, ci))
 
-        def step(p, sub, acc, blk=blk, H=H, ci=ci):
-            x = jax.random.normal(sub, (B, H, H, ci))
+        def step(p, sub, acc, blk=blk, x0=x0):
+            x = x0 * (1.0 + acc * 1e-20)
             return jnp.sum(jnp.abs(blk.apply(p, x, temb))
                            .astype(jnp.float32)) * 1e-10 + acc * 1e-20
 
@@ -148,11 +152,13 @@ def main():
               + 2 * 2 * B * N * 77 * ch
               + 2 * B * N * ch * (8 * ch + 4 * ch))
 
-        def step(p, sub, acc, blk=blk, H=H, ch=ch):
-            x = jax.random.normal(sub, (B, H, H, ch))
-            c = jax.random.normal(jax.random.fold_in(sub, 1),
-                                  (B, 77, cfg.cross_attention_dim))
-            return jnp.sum(jnp.abs(blk.apply(p, x, c))
+        x0 = jax.random.normal(jax.random.key(2), (B, H, H, ch))
+        c0 = jax.random.normal(jax.random.key(3),
+                               (B, 77, cfg.cross_attention_dim))
+
+        def step(p, sub, acc, blk=blk, x0=x0, c0=c0):
+            x = x0 * (1.0 + acc * 1e-20)
+            return jnp.sum(jnp.abs(blk.apply(p, x, c0))
                            .astype(jnp.float32)) * 1e-10 + acc * 1e-20
 
         t = _scan_time(f"transformer2d {H}x{H} c{ch}  (x{n} in UNet)", step, p,
@@ -168,8 +174,10 @@ def main():
     attn = Attention(cfg.attention_num_heads)
     p_attn = jax.jit(attn.init)(jax.random.key(1), jnp.zeros((B, 4096, 320)))
 
+    xa0 = jax.random.normal(jax.random.key(2), (B, 4096, 320))
+
     def self_attn_step(p, sub, acc):
-        x = jax.random.normal(sub, (B, 4096, 320))
+        x = xa0 * (1.0 + acc * 1e-20)
         return jnp.sum(jnp.abs(attn.apply(p, x))) * 1e-10 + acc * 1e-20
 
     _scan_time("self-attn 4096 tokens c320 (flash path)", self_attn_step,
@@ -179,8 +187,10 @@ def main():
     p_attn1024 = jax.jit(attn1024.init)(jax.random.key(1),
                                         jnp.zeros((B, 1024, 640)))
 
+    xb0 = jax.random.normal(jax.random.key(2), (B, 1024, 640))
+
     def self_attn_1024(p, sub, acc):
-        x = jax.random.normal(sub, (B, 1024, 640))
+        x = xb0 * (1.0 + acc * 1e-20)
         return jnp.sum(jnp.abs(attn1024.apply(p, x))) * 1e-10 + acc * 1e-20
 
     _scan_time("self-attn 1024 tokens c640 (naive path)", self_attn_1024,
@@ -192,8 +202,10 @@ def main():
                                 jnp.zeros((B, 64, 64, 320), dt))
         fl = 2 * B * 64 * 64 * 9 * 320 * 320
 
-        def conv_step(pc, sub, acc, conv=conv, dt=dt):
-            x = jax.random.normal(sub, (B, 64, 64, 320), dt)
+        xc0 = jax.random.normal(jax.random.key(2), (B, 64, 64, 320)).astype(dt)
+
+        def conv_step(pc, sub, acc, conv=conv, xc0=xc0):
+            x = xc0 * (1.0 + acc * 1e-20).astype(xc0.dtype)
             return jnp.sum(jnp.abs(conv.apply(pc, x)).astype(jnp.float32)) \
                 * 1e-10 + acc * 1e-20
 

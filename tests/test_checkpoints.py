@@ -71,3 +71,31 @@ def test_trainer_nan_guard_saves_pre_update_params(tmp_path):
     p, _, _ = tr.ckpts.load(dbg, params_template=tr.params)
     # params saved BEFORE the poisoned update applied: still finite
     assert np.isfinite(np.asarray(p["w"])).all()
+
+
+def test_async_save_retention_and_flush(tmp_path):
+    """async_write saves on a background thread: flush() joins, files land
+    with correct content, rolling retention still evicts, and a worker
+    failure surfaces at the next flush (r5 — overlaps the tunnel's
+    seconds-long device→host state fetch with training)."""
+    from tpunerf.training.checkpoints import CheckpointManager
+
+    mgr = CheckpointManager(tmp_path, max_keep=2)
+    for step in (1, 2, 3):
+        params = {"w": jnp.full((4,), float(step))}
+        mgr.save(step, params, opt_state={"m": jnp.zeros(4)},
+                 async_write=True)
+    mgr.flush()
+    names = sorted(p.name for p in (tmp_path).glob("step_*.ckpt"))
+    assert names == ["step_000002.ckpt", "step_000003.ckpt"]
+    p, opt, nxt = mgr.load(params_template={"w": jnp.zeros(4)},
+                           opt_state_template={"m": jnp.zeros(4)})
+    assert nxt == 4
+    np.testing.assert_array_equal(np.asarray(p["w"]), np.full(4, 3.0))
+
+    # a failing worker raises at the next flush, not silently
+    mgr2 = CheckpointManager(tmp_path / "sub", max_keep=2)
+    unserializable = {"w": object()}
+    mgr2.save(9, unserializable, async_write=True)
+    with pytest.raises(Exception):
+        mgr2.flush()

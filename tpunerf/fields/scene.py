@@ -167,8 +167,12 @@ class LatentNeRFScene:
             assert decode_fn is not None
             rgb = decode_fn(out["image"])
             if rgb.shape[1] != dims[0]:
-                rgb = jax.image.resize(
-                    rgb, (rgb.shape[0], *dims, 3), method="bicubic")
+                # bicubic overshoots outside [0,1]; unclipped negatives used
+                # to trip tensor2numpy's [-1,1] auto-rescale heuristic and
+                # wash out eval frames (r5)
+                rgb = jnp.clip(jax.image.resize(
+                    rgb, (rgb.shape[0], *dims, 3), method="bicubic"),
+                    0.0, 1.0)
             return {"image": rgb, "mask": out["mask"], "texture_map": None,
                     "depth": out["depth"]}
         out = self.render_views(params, views, key, dims, perturb=False,

@@ -7,9 +7,12 @@ Paint-by-Example with 9-channel input at paint_by_example.py:643-646 — both
 are just `in_channels` here).
 
 Layout is NHWC (TPU conv-native); compute dtype is configurable via
-`UNetConfig.dtype` (defaults fp32 — measured on v5e: bf16 buys ≤10% on the
-conv-bound UNet, see BASELINE.md §3) with fp32 params. The module tree is
-written so a diffusers/torch checkpoint maps 1:1 through guidance/weights.py.
+`UNetConfig.dtype` (defaults fp32; the `guide.unet_dtype` bf16
+weight+compute policy — `apply_unet_dtype` below — measured +3.3% on the
+SDS step and −1.6 GB of HBM: the pass is attention/MXU-bound, not
+weight-HBM-bound — BASELINE.md §3 "UNet-side speed-of-light"). The module
+tree is written so a diffusers/torch checkpoint maps 1:1 through
+guidance/weights.py.
 """
 from __future__ import annotations
 

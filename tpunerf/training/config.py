@@ -122,6 +122,10 @@ class LogConfig:
     # size (one XLA program per chunk; tail padded). Bounds eval memory —
     # at 512² the VAE decode / raster buffers scale with it.
     eval_batch: int = 5
+    # write checkpoints on a background thread so the device→host state
+    # fetch (seconds per save through the TPU tunnel) overlaps the next
+    # block of train dispatches
+    async_ckpt: bool = True
     save_mesh: bool = True
     max_keep_ckpts: int = 2
     eval_only: bool = False

@@ -147,6 +147,12 @@ class Trainer:
         self._chunk_fns: Dict[int, Callable] = {}
         self._eval_fns: Dict[Tuple, Callable] = {}
         self._tracing = False
+        # PNG/JPG encodes ride a small IO pool so eval-frame writes overlap
+        # the next device dispatches; drained at evaluate() start/end-of-run
+        import concurrent.futures
+        self._io_pool = concurrent.futures.ThreadPoolExecutor(
+            max_workers=2, thread_name_prefix="imgio")
+        self._io_futures: list = []
 
     # ------------------------------------------------------------------ #
     def _build_train_step(self):
@@ -303,6 +309,8 @@ class Trainer:
             self.logger.info("Finished Training ^_^")
             self.logger.info("Evaluating the last model...")
             self.full_eval()
+            self.ckpts.flush()
+            self._drain_io()
             self.logger.info("\tDone!")
             return
 
@@ -363,6 +371,7 @@ class Trainer:
                     rays_per_s=(steps * cfg.render.batch_size *
                                 cfg.render.train_grid_size ** 2 / dt)
                     if dt > 0 else 0.0,
+                    **self._app_metric_scalars(),
                     **_device_memory_scalars())
 
             if self.train_step_idx % cfg.log.save_interval == 0:
@@ -382,6 +391,8 @@ class Trainer:
         self.logger.info("Finished Training ^_^")
         self.logger.info("Evaluating the last model...")
         self.full_eval()
+        self.ckpts.flush()
+        self._drain_io()
         self.logger.info("\tDone!")
 
     # ------------------------------------------------------------------ #
@@ -449,6 +460,7 @@ class Trainer:
                     rays_per_s=(steps * cfg.render.batch_size *
                                 cfg.render.train_grid_size ** 2 / dt)
                     if dt > 0 else 0.0,
+                    **self._app_metric_scalars(),
                     **_device_memory_scalars())
 
             if self.train_step_idx % cfg.log.save_interval == 0:
@@ -460,6 +472,18 @@ class Trainer:
                 self._log_train_render(aux)
 
     # ------------------------------------------------------------------ #
+    def _drain_io(self) -> None:
+        """Wait for queued image writes; surface the first failure."""
+        futures, self._io_futures = self._io_futures, []
+        for f in futures:
+            f.result()
+
+    def _app_metric_scalars(self) -> Dict[str, float]:
+        """App-specific metric-row scalars (e.g. the latent-nerf app's
+        occupied grid fraction). One small host fetch per 50 steps."""
+        hook = getattr(self.app, "metric_scalars", None)
+        return hook(self.params) if hook is not None else {}
+
     def _build_eval_fn(self, dims: Tuple[int, int]) -> Callable:
         """One jitted render for a CHUNK of eval poses. The r4 production
         run spent ~2/3 of wall clock in the eval orbit because eval_render
@@ -471,19 +495,29 @@ class Trainer:
         app = self.app
         get_refs = getattr(app, "frozen_refs", None)
         swap = getattr(app, "swap_frozen", None)
+
+        def render(params, views):
+            out = dict(app.eval_render(params, views, dims))
+            # quantize to uint8 IN-JIT: the tunnel moves ~13 MB/s, so
+            # fetching 512² orbit frames as f32 cost ~2.4 s per 10-pose
+            # eval (measured r5); uint8 is 4× less. Exactly the
+            # tensor2numpy convention: clip [0,1] then truncate.
+            img = jnp.clip(out.pop("image"), 0.0, 1.0)
+            out["image_u8"] = (img * 255).astype(jnp.uint8)
+            return out
+
         if get_refs is not None and swap is not None:
             @jax.jit
             def eval_frozen(params, views, refs):
                 prev = swap(refs)
                 try:
-                    return app.eval_render(params, views, dims)
+                    return render(params, views)
                 finally:
                     swap(prev)
 
             return lambda params, views: eval_frozen(params, views,
                                                      self._frozen_refs)
-        return jax.jit(
-            lambda params, views: app.eval_render(params, views, dims))
+        return jax.jit(render)
 
     def evaluate(self, step: int, size: int,
                  save_as_video: bool = False,
@@ -497,6 +531,7 @@ class Trainer:
         fn = self._eval_fns.get((dims, chunk))
         if fn is None:
             fn = self._eval_fns[(dims, chunk)] = self._build_eval_fn(dims)
+        self._drain_io()
         for s in range(0, size, chunk):
             # pad the tail chunk by repeating the last pose: every call has
             # the same batch shape → exactly one compile per (dims, chunk)
@@ -504,8 +539,8 @@ class Trainer:
             v = jax.tree_util.tree_map(lambda x: x[idx], views)
             out = fn(self.params, v)
             n_valid = min(chunk, size - s)
-            img = np.asarray(out["image"][:n_valid])
-            frames.extend(tensor2numpy(img[i]) for i in range(n_valid))
+            img = np.asarray(out["image_u8"][:n_valid])
+            frames.extend(img[i] for i in range(n_valid))
             if (s == 0 and out.get("texture_map", None) is not None):
                 self._save_image(out_dir / f"step_{step:06d}_texture.png",
                                  tensor2numpy(np.asarray(
@@ -531,8 +566,9 @@ class Trainer:
                             out_dir / f"step_{step:06d}_{i:03d}_rgb.png", f)
         else:
             for i, f in enumerate(frames):
-                self._save_image(out_dir / f"step_{step:06d}_{i:03d}_rgb.png",
-                                 f)
+                self._io_futures.append(self._io_pool.submit(
+                    self._save_image,
+                    out_dir / f"step_{step:06d}_{i:03d}_rgb.png", f))
 
     def full_eval(self) -> None:
         cfg = self.cfg
@@ -566,7 +602,8 @@ class Trainer:
     def save_checkpoint(self, full: bool = True) -> None:
         is_main = jax.process_index() == 0
         self.ckpts.save(self.train_step_idx, self.params, self.opt_state,
-                        full=full, is_main_process=is_main)
+                        full=full, is_main_process=is_main,
+                        async_write=self.cfg.log.async_ckpt)
 
     def _load_checkpoint(self, path: Optional[Path], model_only: bool) -> None:
         params, opt_state, next_step = self.ckpts.load(
