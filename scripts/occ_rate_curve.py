@@ -9,6 +9,16 @@ trained scene converges to; the lego_man sketch-guided run's metrics.jsonl
 `occ_frac` column pins where real training actually sits on this curve) —
 and prints one JSON line of (occ_frac, rays_per_s) points for BASELINE.md.
 
+The `teddy` point anchors the curve at a REAL converged geometry: the
+sketch-shape training objective (fields/sketch_shape.py) drives density
+toward the guide mesh's proximal band, so the occupancy state a
+successful lego_man run converges to IS the teddy SDF's band — computed
+here directly from shapes/teddy.obj. (A noise-guided run cannot produce
+it: with random UNet weights the SDS gradient [~1e18] swamps the
+sketch loss and saturates density everywhere — measured r5, occ_frac
+stays 1.0 for 3000 steps — which is also why the r4/r5 production runs
+sit at the occ=1.0 end of this curve.)
+
 Run on the TPU: python -m scripts.occ_rate_curve
 """
 from __future__ import annotations
@@ -79,10 +89,33 @@ def main() -> None:
         return loss + 1e-20 * gsum + 1e-20 * acc
 
     G = scene.occ_cfg.resolution
+
+    def teddy_grid():
+        """Occupancy of a CONVERGED sketch-shape run: cells within the
+        teddy guide mesh's proximal band (inside ∪ |sdf| < band), the
+        fixed point of the sketch-shape objective."""
+        from tpunerf.fields.sketch_shape import SDFGrid
+        from tpunerf.meshrep import shapes as shp
+        mesh = shp.load_shape("shapes/teddy.obj").normalize(
+            target_scale=0.6, dy=0.25)
+        sdf = SDFGrid.from_mesh(np.asarray(mesh.vertices),
+                                np.asarray(mesh.faces),
+                                resolution=48, bound=scene.march.bound)
+        ax = (np.arange(G) + 0.5) / G * 2.0 - 1.0
+        gx, gy, gz = np.meshgrid(ax, ax, ax, indexing="ij")
+        pts = jnp.asarray(np.stack([gx, gy, gz], -1).reshape(-1, 3)
+                          * scene.march.bound, jnp.float32)
+        d = np.asarray(sdf.sample(pts))
+        return np.where(d < 0.3, 1.0, 0.0).astype(np.float32)
+
     points = []
-    for frac in (0.02, 0.05, 0.1, 0.185, 0.3, 0.5, 1.0):
-        grid = jnp.asarray(blob_grid(G, frac)) if frac < 1.0 \
-            else jnp.ones((G ** 3,), jnp.float32)
+    for frac in ("teddy", 0.02, 0.05, 0.1, 0.185, 0.3, 0.5, 1.0):
+        if frac == "teddy":
+            grid = jnp.asarray(teddy_grid())
+        elif frac < 1.0:
+            grid = jnp.asarray(blob_grid(G, frac))
+        else:
+            grid = jnp.ones((G ** 3,), jnp.float32)
         p = dict(params)
         p["occ_grid"] = grid
         packed = occ_lib.packed_bitfield(grid, scene.occ_cfg)
@@ -91,10 +124,10 @@ def main() -> None:
         actual = float(jnp.mean(
             (grid > scene.occ_cfg.density_threshold).astype(jnp.float32)))
         sec = _timed_scan(render_step, p, key, iters=100)
-        points.append({"occ_frac": round(actual, 4),
+        points.append({"tag": str(frac), "occ_frac": round(actual, 4),
                        "rays_per_s": round(H * W / sec, 1),
                        "ms_per_frame": round(sec * 1e3, 3)})
-        print(f"occ={actual:.3f}: {H * W / sec / 1e3:8.1f}k rays/s "
+        print(f"[{frac}] occ={actual:.3f}: {H * W / sec / 1e3:8.1f}k rays/s "
               f"({sec * 1e3:.2f} ms)", flush=True)
 
     print(json.dumps({"metric": "occ_frac_to_rays_per_s", "points": points}))

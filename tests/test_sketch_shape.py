@@ -1,3 +1,4 @@
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -54,3 +55,21 @@ def test_marching_tetrahedra_sphere():
     radii = np.linalg.norm(verts, axis=1)
     np.testing.assert_allclose(radii, 0.6, atol=0.08)
     assert faces.max() < len(verts)
+
+
+def test_sample_fast_divergence_bounded(sphere_sdf):
+    """The one-gather prefiltered lookup (r5 hot path for the sketch loss)
+    stays within the analytic nearest-on-2G bound of exact trilinear, and
+    the BCE target it produces diverges immaterially."""
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(-0.95, 0.95, (4096, 3)).astype(np.float32))
+    exact = np.asarray(sphere_sdf.sample(x))
+    fast = np.asarray(sphere_sdf.sample_fast(x))
+    # |∇sdf| ≈ 1 for a sphere; half-cell on the 2G grid + interp error
+    h2 = sphere_sdf.bound / sphere_sdf.resolution          # = 2·bound/(2G)
+    assert np.abs(fast - exact).max() < 1.5 * h2
+    ps = 0.3
+    t_exact = jax.nn.sigmoid(-exact / ps)
+    t_fast = jax.nn.sigmoid(-fast / ps)
+    assert np.abs(np.asarray(t_fast) - np.asarray(t_exact)).max() < 0.1
+    assert np.abs(np.asarray(t_fast) - np.asarray(t_exact)).mean() < 0.01

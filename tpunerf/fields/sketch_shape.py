@@ -100,6 +100,15 @@ class SDFGrid:
     bound: float
     resolution: int
 
+    def __post_init__(self):
+        # prefiltered copy for the one-gather hot path (`sample_fast`),
+        # built EAGERLY: inside a jit trace every jnp op stages to a
+        # tracer, so computing it lazily on first sample_fast leaked the
+        # trace (r5)
+        G2 = self.resolution * 2
+        v2 = jax.image.resize(self.values, (G2, G2, G2), method="linear")
+        object.__setattr__(self, "_pref", v2.reshape(-1))
+
     @classmethod
     def from_mesh(cls, vertices: np.ndarray, faces: np.ndarray,
                   resolution: int = 64, bound: float = 1.0,
@@ -137,6 +146,24 @@ class SDFGrid:
         return cls(values=jnp.asarray(sdf.reshape(G, G, G)),
                    bound=bound, resolution=G)
 
+    def sample_fast(self, x: jnp.ndarray) -> jnp.ndarray:
+        """ONE-gather SDF lookup: nearest neighbor on a 2× trilinearly
+        prefiltered copy of the grid.
+
+        XLA's TPU gather costs ~6 cycles/element, so exact trilinear
+        (8 gathers/point, `sample`) costs ~13 ms on a 262k-point frame —
+        it singlehandedly dropped the sketch-guided train rate from ~150
+        to ~30 steps/s (measured r5, lego_man tiny-chunked). Prefiltering
+        to 2G then snapping to nearest bounds the extra SDF error by
+        |∇sdf|·h/2 ≈ bound/(2G) (≈0.01 at G=48) — an order of magnitude
+        below `proximal_surface`; the divergence bound on the resulting
+        BCE target is regression-tested in tests/test_sketch_shape.py."""
+        G2 = self.resolution * 2
+        u = (x / self.bound + 1.0) / 2.0 * G2 - 0.5
+        idx = jnp.clip(jnp.round(u).astype(jnp.int32), 0, G2 - 1)
+        flat = (idx[..., 0] * G2 + idx[..., 1]) * G2 + idx[..., 2]
+        return jnp.take(self._pref, flat, axis=0)
+
     def sample(self, x: jnp.ndarray) -> jnp.ndarray:
         """Trilinear SDF lookup at world points (..., 3), in-jit."""
         G = self.resolution
@@ -169,7 +196,9 @@ def sketch_shape_loss(sdf: SDFGrid, xyzs: jnp.ndarray, sigmas: jnp.ndarray,
     occupancy α(x) = 1 − exp(−σ·δ). Points outside the proximal band drive
     density down, inside drive it up; `proximal_surface` widens the
     uncommitted band near the surface."""
-    target = jax.nn.sigmoid(-sdf.sample(xyzs) / proximal_surface)
+    # hot path: the one-gather prefiltered lookup (see sample_fast); the
+    # exact 8-gather trilinear form stays for mesh extraction / tests
+    target = jax.nn.sigmoid(-sdf.sample_fast(xyzs) / proximal_surface)
     alpha = 1.0 - jnp.exp(-sigmas * delta)
     alpha = jnp.clip(alpha, 1e-5, 1.0 - 1e-5)
     bce = -(target * jnp.log(alpha) +
