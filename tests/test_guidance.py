@@ -25,8 +25,9 @@ def test_unet_tiny_forward_shapes():
     unet = UNet2DCondition(cfg)
     x = jnp.zeros((2, 16, 16, 4))
     ctx = jnp.zeros((2, 8, cfg.cross_attention_dim))
-    params = unet.init(jax.random.key(0), x, jnp.zeros((2,), jnp.int32), ctx)
-    out = unet.apply(params, x, jnp.array([10, 500]), ctx)
+    params = jax.jit(unet.init)(jax.random.key(0), x,
+                                jnp.zeros((2,), jnp.int32), ctx)
+    out = jax.jit(unet.apply)(params, x, jnp.array([10, 500]), ctx)
     assert out.shape == (2, 16, 16, 4)
     assert out.dtype == jnp.float32
 
@@ -36,11 +37,12 @@ def test_unet_conditioning_matters(sd):
     ctx1 = jax.random.normal(jax.random.key(2), (1, 16, 32))
     ctx2 = jax.random.normal(jax.random.key(3), (1, 16, 32))
     t = jnp.asarray(100)
-    o1 = sd.unet_apply(x, t, ctx1)
-    o2 = sd.unet_apply(x, t, ctx2)
+    ua = jax.jit(sd.unet_apply)   # one compile beats eager per-op dispatch
+    o1 = ua(x, t, ctx1)
+    o2 = ua(x, t, ctx2)
     assert np.abs(np.asarray(o1 - o2)).max() > 1e-6
     # timestep matters too
-    o3 = sd.unet_apply(x, jnp.asarray(900), ctx1)
+    o3 = ua(x, jnp.asarray(900), ctx1)
     assert np.abs(np.asarray(o1 - o3)).max() > 1e-6
 
 

@@ -86,9 +86,9 @@ def test_single_frame_fwd_bwd_finite(tmp_path, tiny_sd_guidance):
                       radius=jnp.array([1.8]),
                       dirs=jnp.array([0], jnp.int32),
                       is_body=jnp.array([True]))
-    loss, grads = jax.value_and_grad(
+    loss, grads = jax.jit(jax.value_and_grad(
         lambda p: app.loss_fn(p, views, jax.random.key(1),
-                              jnp.asarray(0))[0])(params)
+                              jnp.asarray(0))[0]))(params)
     assert np.isfinite(float(loss))
     leaves = jax.tree_util.tree_leaves(grads["field"])
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
@@ -150,6 +150,7 @@ def test_batched_eval_orbit_matches_per_pose(tmp_path, tiny_sd_guidance):
     app = LatentNeRFApp.create(cfg, guidance=tiny_sd_guidance)
     trainer = Trainer(cfg, app)
     trainer.evaluate(step=0, size=5)
+    trainer._drain_io()     # frame writes are async (overlap training)
     pngs = sorted((cfg.log.exp_dir / "vis" / "eval").glob("step_000000_*.png"))
     assert len(pngs) == 5
 

@@ -69,7 +69,8 @@ def test_latent_to_rgb_head_migration(tmp_path, tiny_sd_guidance):
     from tpunerf.core.views import circle_poses, ViewSamplerConfig
     views = circle_poses(1, ViewSamplerConfig())
     migrated = jax.tree_util.tree_map(jnp.asarray, migrated)
-    out = app_rgb.eval_render(migrated, views, (16, 16))
+    out = jax.jit(lambda p, v: app_rgb.eval_render(p, v, (16, 16)))(
+        migrated, views)
     assert out["image"].shape == (1, 16, 16, 3)
 
 

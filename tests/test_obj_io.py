@@ -175,8 +175,8 @@ def test_chart_overlap_large_chart_bounded_memory():
     import tracemalloc
     from tpunerf.meshrep.uv_unwrap import _chart_overlaps
 
-    # planar 40×40 quad grid → 3200 faces, 9600 edges, no overlaps
-    n = 40
+    # planar 24×24 quad grid → 1152 faces, 3456 edges, no overlaps
+    n = 24
     gx, gy = np.meshgrid(np.arange(n + 1), np.arange(n + 1), indexing="ij")
     local = np.stack([gx.ravel(), gy.ravel()], -1).astype(np.float32)
     vid = lambda i, j: i * (n + 1) + j  # noqa: E731
@@ -188,8 +188,9 @@ def test_chart_overlap_large_chart_bounded_memory():
     assert not _chart_overlaps(local, ft)
     _, peak = tracemalloc.get_traced_memory()
     tracemalloc.stop()
-    # the un-chunked broadcast would allocate ≥ 4·E²·8B ≈ 2.9 GB here
-    assert peak < 400 * 2 ** 20, f"overlap check peaked at {peak/2**20:.0f} MB"
+    # the un-chunked broadcast would allocate ≥ 4·E²·8B ≈ 380 MB PER
+    # TEMPORARY (several live at once) here
+    assert peak < 200 * 2 ** 20, f"overlap check peaked at {peak/2**20:.0f} MB"
 
     # and a genuine crossing hidden deep in the same big chart IS caught
     local2 = np.concatenate([local, np.array(

@@ -142,6 +142,7 @@ def test_depth_inpaint_unet_variant(tiny_depth_guidance):
     ml_a = jnp.zeros((1, 16, 16, 4))
     ml_b = jnp.ones((1, 16, 16, 4))
 
+    @jax.jit
     def run(ml):
         return sdd.img2img_step(jax.random.key(0), emb, lat, depth,
                                 update_mask=upd, num_inference_steps=8,

@@ -522,6 +522,11 @@ class Trainer:
     def evaluate(self, step: int, size: int,
                  save_as_video: bool = False,
                  out_dir: Optional[Path] = None) -> None:
+        """Render + save the eval orbit. Frame PNG writes are ASYNC (they
+        overlap the next training block) — call `_drain_io()` to wait for
+        them; the train loop drains at the next evaluate()/run end, and
+        the IO pool's non-daemon threads guarantee completion before
+        process exit either way."""
         cfg = self.cfg
         out_dir = out_dir or self.eval_vis_dir
         views = circle_poses(size, self.view_cfg)
