@@ -69,6 +69,9 @@ def test_sds_loss_grad_equals_score_gradient(sd):
     latents = jax.random.normal(jax.random.key(5), (1, 16, 16, 4))
     emb = sd.get_text_embeds(["test"])
 
+    # deliberately UN-jitted: the assertion is an exact algebraic
+    # identity against the eager score_gradient (jit fusion perturbs
+    # low bits past the 1e-6 atol)
     g_auto = jax.grad(
         lambda lat: sd.train_step_loss(key, emb, lat, guidance_scale=10.0)
     )(latents)
@@ -95,8 +98,8 @@ def test_dds_identical_branches_zero_grad(sd):
     key = jax.random.key(7)
     lat = jax.random.normal(jax.random.key(8), (1, 16, 16, 4))
     emb = sd.get_text_embeds(["same"])
-    g = jax.grad(lambda l: sd.train_step_delta_loss(key, emb, l,
-                                                    lat, emb))(lat)
+    g = jax.jit(jax.grad(
+        lambda l: sd.train_step_delta_loss(key, emb, l, lat, emb)))(lat)
     np.testing.assert_allclose(np.asarray(g), 0.0, atol=1e-6)
 
 
@@ -288,8 +291,8 @@ def test_guide_unet_dtype_plumbs_from_config():
     # the full SDS loss surface runs and grads flow to the latents
     ctx = jnp.zeros((2, 8, 32))
     lat = jax.random.normal(jax.random.key(1), (1, 16, 16, 4))
-    loss, grad = jax.value_and_grad(
-        lambda l: g.train_step_loss(jax.random.key(2), ctx, l))(lat)
+    loss, grad = jax.jit(jax.value_and_grad(
+        lambda l: g.train_step_loss(jax.random.key(2), ctx, l)))(lat)
     assert np.isfinite(float(loss))
     assert np.isfinite(np.asarray(grad)).all()
     assert np.abs(np.asarray(grad)).max() > 0

@@ -103,7 +103,7 @@ def test_dual_camera_body_head(tmp_path, tiny_sd_guidance):
                       radius=jnp.array([1.5, 1.5]),
                       dirs=jnp.zeros(2, jnp.int32),
                       is_body=jnp.array([True, False]))
-    out = app.scene.render_train(params, views)
+    out = jax.jit(app.scene.render_train)(params, views)
     img = np.asarray(out["image"])
     # head camera (narrow FOV, different look-at) produces a different view
     assert np.abs(img[0] - img[1]).max() > 1e-4
@@ -136,11 +136,12 @@ def test_depth_guided_paint_mesh_batched(tmp_path, tiny_depth_guidance):
     assert app.depth_guidance is not None and app.guidance is None
     params = app.init_params(jax.random.key(0))
     views = rand_poses(jax.random.key(1), 2, ViewSamplerConfig())
-    render = app.scene.render_train(params, views)
+    render = jax.jit(app.scene.render_train)(params, views)
     assert render["depth"].shape[0] == 2
     assert float(render["depth"].max()) > 0  # foreground depth positive
-    g = jax.grad(lambda p: app.loss_fn(p, views, jax.random.key(2),
-                                       jnp.asarray(0))[0])(params)
+    g = jax.jit(jax.grad(
+        lambda p: app.loss_fn(p, views, jax.random.key(2),
+                              jnp.asarray(0))[0]))(params)
     assert np.abs(np.asarray(g["texture_img"])).max() > 0
     assert np.isfinite(np.asarray(g["texture_img"])).all()
 

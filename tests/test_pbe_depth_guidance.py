@@ -52,8 +52,9 @@ def test_pbe_train_step_gradient(pbe):
     mask = jnp.zeros((1, 16, 16, 1)).at[:, 4:12, 4:12].set(1.0)
     ex = jax.random.uniform(jax.random.key(3), (1, 32, 32, 3))
     emb = pbe.encode_exemplar(ex)
-    g = jax.grad(lambda l: pbe.train_step_loss(jax.random.key(4), l, mask,
-                                               emb))(lat)
+    g = jax.jit(jax.grad(
+        lambda l: pbe.train_step_loss(jax.random.key(4), l, mask,
+                                      emb)))(lat)
     assert g.shape == lat.shape
     assert np.isfinite(np.asarray(g)).all()
     assert np.abs(np.asarray(g)).max() > 0
@@ -99,9 +100,9 @@ def test_pbe_use_clip_branch(pbe):
               clip_image_size=clip_size)
     pbe_lo = PaintByExampleGuidance.create(jax.random.key(0), tiny=True,
                                            min_step=0.25, max_step=0.35)
-    loss_clip, g_clip = jax.value_and_grad(
+    loss_clip, g_clip = jax.jit(jax.value_and_grad(
         lambda l: pbe_lo.train_step_loss(jax.random.key(4), l, mask, emb,
-                                         **kw))(lat)
+                                         **kw)))(lat)
     assert np.isfinite(float(loss_clip))
     assert np.isfinite(np.asarray(g_clip)).all()
     assert np.abs(np.asarray(g_clip)).max() > 0
@@ -110,9 +111,9 @@ def test_pbe_use_clip_branch(pbe):
 
     pbe_hi = PaintByExampleGuidance.create(jax.random.key(0), tiny=True,
                                            min_step=0.45, max_step=0.55)
-    loss_sds, g_sds = jax.value_and_grad(
+    loss_sds, g_sds = jax.jit(jax.value_and_grad(
         lambda l: pbe_hi.train_step_loss(jax.random.key(4), l, mask, emb,
-                                         **kw))(lat)
+                                         **kw)))(lat)
     assert np.isfinite(float(loss_sds))
     assert np.abs(np.asarray(g_sds)).max() > 0
     # SDS identity-loss grad is constant per-pixel stop-grad; CLIP grad is
@@ -156,6 +157,7 @@ def test_depth_inpaint_unet_variant(tiny_depth_guidance):
     assert np.abs(np.asarray(out_a) - np.asarray(out_b)).max() > 1e-6
 
     # window disabled (lo=hi) → masked_latents unused → identical outputs
+    @jax.jit
     def run_nowin(ml):
         return sdd.img2img_step(jax.random.key(0), emb, lat, depth,
                                 update_mask=upd, num_inference_steps=8,
@@ -196,8 +198,9 @@ def test_depth_sds_gradient(sdd):
     lat = jax.random.normal(jax.random.key(1), (1, 16, 16, 4))
     depth = jax.random.uniform(jax.random.key(2), (1, 16, 16, 1))
     emb = sdd.get_text_embeds(["a nascar"])
-    g = jax.grad(lambda l: sdd.train_step_loss(jax.random.key(3), emb, l,
-                                               depth))(lat)
+    g = jax.jit(jax.grad(
+        lambda l: sdd.train_step_loss(jax.random.key(3), emb, l,
+                                      depth)))(lat)
     assert np.isfinite(np.asarray(g)).all()
     assert np.abs(np.asarray(g)).max() > 0
 
