@@ -166,3 +166,20 @@ def test_batched_eval_orbit_matches_per_pose(tmp_path, tiny_sd_guidance):
         # uint8 images; jit fusion may flip a rounding ULP on rare pixels
         assert np.mean(np.abs(got.astype(int) - ref_img.astype(int))) < 0.05
         assert np.max(np.abs(got.astype(int) - ref_img.astype(int))) <= 1
+
+
+def test_rgb_eval_batch_capped(tmp_path, tiny_sd_guidance):
+    """RGB-mode volumetric eval ray-marches every output pixel — the
+    memory cap must force one 512²-class pose per dispatch (the r5 refine
+    run OOMed batching 5); latent mode stays uncapped (renders at the
+    latent grid)."""
+    cfg = _cfg(tmp_path, render=RenderConfig(
+        train_grid_size=16, eval_grid_size=32, num_samples_per_ray=128,
+        nerf_type="rgb"))
+    app = LatentNeRFApp.create(cfg, guidance=dataclasses.replace(
+        tiny_sd_guidance, latent_mode=False))
+    assert app.max_eval_batch((512, 512)) == 1
+    assert app.max_eval_batch((64, 64)) >= 5
+
+    lat_app = LatentNeRFApp.create(_cfg(tmp_path), guidance=tiny_sd_guidance)
+    assert lat_app.max_eval_batch((512, 512)) > 1000

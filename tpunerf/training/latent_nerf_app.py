@@ -143,6 +143,17 @@ class LatentNeRFApp:
         return self.scene.render_test(
             params, views, decode_fn=self.guidance.decode_latents, dims=dims)
 
+    def max_eval_batch(self, dims: Tuple[int, int]) -> int:
+        """Eval poses per dispatch bounded by the volumetric working set:
+        latent mode renders at the 64² latent grid (cheap — VAE decodes to
+        `dims`), but RGB mode ray-marches every output pixel, so cap total
+        ray samples per dispatch at ~40M (512²×S=128 ⇒ one pose per
+        dispatch on a 16 GB chip — the r5 refine stage OOMed at 5)."""
+        if self.scene.field.config.out_channels == 4:
+            return 1 << 30                      # latent grid — no cap
+        per_pose = dims[0] * dims[1] * self.scene.march.num_samples
+        return max(1, (40 << 20) // max(per_pose, 1))
+
     def make_optimizer(self) -> optax.GradientTransformation:
         adam = optax.adam(self.cfg.optim.lr, b1=0.9, b2=0.99, eps=1e-15)
         trainable = set(self.scene.trainable_keys())

@@ -533,6 +533,12 @@ class Trainer:
         frames = []
         dims = (cfg.render.eval_grid_size, cfg.render.eval_grid_size)
         chunk = max(1, min(size, cfg.log.eval_batch))
+        # app-declared memory cap: e.g. the RGB-mode volumetric field
+        # renders every eval pixel (512²×S samples/pose ≈ 33M points) —
+        # batching 5 poses OOMs the 16 GB chip (r5 refine-stage run)
+        cap = getattr(self.app, "max_eval_batch", None)
+        if cap is not None:
+            chunk = max(1, min(chunk, cap(dims)))
         fn = self._eval_fns.get((dims, chunk))
         if fn is None:
             fn = self._eval_fns[(dims, chunk)] = self._build_eval_fn(dims)
