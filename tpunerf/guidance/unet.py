@@ -199,8 +199,11 @@ class Attention(nn.Module):
         if (is_self and q.shape[-2] >= _FLASH_MIN_SEQ
                 and q.shape[-2] % 1024 == 0
                 and jax.default_backend() == "tpu"):
-            out = _flash_sdpa(q.astype(jnp.float32), k.astype(jnp.float32),
-                              v.astype(jnp.float32), head_dim
+            # bf16 policy: feed the kernel bf16 q/k/v (QK logits still
+            # accumulate f32 inside flash); f32 stays f32
+            dt = jnp.float32 if v.dtype == jnp.float32 else jnp.bfloat16
+            out = _flash_sdpa(q.astype(dt), k.astype(dt),
+                              v.astype(dt), head_dim
                               ).astype(v.dtype)
         else:
             attn = jnp.einsum("bhqd,bhkd->bhqk", q, k,
