@@ -133,10 +133,11 @@ class LatentNeRFApp:
         occ = params.get("occ_grid")
         if occ is None:
             return {}
-        frac = float(jnp.mean(
-            (occ > self.scene.occ_cfg.density_threshold)
-            .astype(jnp.float32)))
-        return {"occ_frac": round(frac, 4)}
+        if not hasattr(self, "_occ_frac_jit"):
+            thresh = self.scene.occ_cfg.density_threshold
+            self._occ_frac_jit = jax.jit(
+                lambda o: jnp.mean((o > thresh).astype(jnp.float32)))
+        return {"occ_frac": round(float(self._occ_frac_jit(occ)), 4)}
 
     def eval_render(self, params: Any, views: ViewBatch,
                     dims: Tuple[int, int]) -> Dict[str, jnp.ndarray]:
