@@ -81,6 +81,14 @@ def main(coordinator: str, num_procs: int, proc_id: int) -> None:
     # fully-replicated outputs: fetchable identically on every process
     print(f"MPRESULT {float(loss):.6e} {float(gsum):.6e}", flush=True)
 
+    # explicit barrier BEFORE process exit: on a saturated 2-core host one
+    # worker can finish >30 s before the other, and the coordination
+    # service's atexit shutdown barrier (30 s deadline) then fails the
+    # whole test (observed at suite-wide -n 2). This collective blocks the
+    # early worker until both arrive, so shutdown is reached together.
+    from jax.experimental import multihost_utils
+    multihost_utils.sync_global_devices("mp_worker_done")
+
 
 if __name__ == "__main__":
     main(sys.argv[1], int(sys.argv[2]), int(sys.argv[3]))
